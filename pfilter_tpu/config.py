@@ -1,0 +1,182 @@
+"""Typed configuration tree for the TPU-native PFilter engine.
+
+Replaces the reference's three config mechanisms (ROS param server populated
+by launch files ``launch/pfilter_kitti.launch:49-72``, the per-frame-reloaded
+yaml-cpp file ``src/additionClass.cpp:17-35``, and thresholds hard-coded in
+headers ``include/preProcess.hpp:709-721``) with one frozen dataclass tree.
+
+All configs are frozen/hashable so they can be closed over by ``jax.jit`` as
+static values.  Capacities are static shapes: XLA requires fixed array sizes,
+so every dynamically-sized structure of the reference (growing point clouds,
+KdTrees, hash maps) becomes a padded array with a validity mask whose capacity
+is set here.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from dataclasses import dataclass
+
+
+@dataclass(frozen=True)
+class LidarConfig:
+    """Sensor geometry (ref: include/lidar.h:9-31, src/lidar.cpp:5-36)."""
+
+    num_lines: int = 64
+    scan_period: float = 0.1
+    max_distance: float = 90.0
+    min_distance: float = 3.0
+    vertical_angle: float = 2.0
+    horizontal_resolution: float = 0.2  # degrees, used by the synthetic simulator
+
+
+@dataclass(frozen=True)
+class FeatureConfig:
+    """Ring feature extraction (ref: src/laserProcessingClass.cpp:10-209).
+
+    The reference splits each scan ring into 6 azimuth sectors, sorts by
+    11-point curvature, picks the top <=20 points with curvature > 0.1 as
+    edges (with +-5-neighbor non-max suppression that stops at >0.05 m^2
+    gaps), and sends every unpicked curvature point to the surf cloud.
+    """
+
+    num_sectors: int = 6
+    max_edge_per_sector: int = 20
+    edge_curvature_threshold: float = 0.1
+    suppression_gap_sq: float = 0.05
+    suppression_radius: int = 5
+    curvature_half_window: int = 5
+    min_ring_points: int = 131
+
+
+@dataclass(frozen=True)
+class OdometryConfig:
+    """Scan-to-map registration + persistence filter parameters.
+
+    Mirrors the reference's launch args (launch/pfilter_kitti.launch:49-72):
+    ``k_new``/``theta_p``/``theta_max`` gate map-point persistence
+    (ref: src/odomEstimationClass.cpp:7-25, :332-355), ``map_resolution`` sets
+    the rgbds voxel size (edge maps use x1, surf maps x2,
+    ref: src/odomEstimationClass.cpp:625-626), and the Ceres solve becomes a
+    batched Gauss-Newton with Huber IRLS (ref: src/odomEstimationClass.cpp:252-272).
+    """
+
+    k_new: float = 0.0
+    theta_p: float = 0.4
+    theta_max: float = 75.0
+    weight_type: int = 0  # 0 none | 1 observe | 2 sparsity | 12 mean of both
+    map_resolution: float = 0.4
+    crop_half_extent: float = 100.0  # ref: src/odomEstimationClass.cpp:606-623
+    nn_gate_sq: float = 1.0  # 5th-NN sq-dist gate (ref: :300, :451)
+    line_eig_ratio: float = 3.0  # lambda_max > 3*lambda_mid (ref: :326)
+    line_half_length: float = 0.1  # endpoints at +-0.1*dir (ref: :330-331)
+    plane_fit_tol: float = 0.2  # plane residual gate (ref: :469-471)
+    huber_delta: float = 0.1  # ref: :254
+    max_outer_iters: int = 12  # first-frame opt count (ref: :221)
+    min_outer_iters: int = 2  # steady-state opt count (ref: :198)
+    inner_gn_iters: int = 4  # Ceres max_num_iterations (ref: :265)
+    gn_damping: float = 1.0e-6  # small LM-style Tikhonov on the 6x6 system
+    aging_increment: float = 2.0  # r += 2 per frame, cap 255 (ref: :634-646)
+    observe_saturate_ratio: float = 5.0  # observe/round > 5 -> observe = 255 (ref: :348)
+    counter_cap: float = 255.0
+
+
+@dataclass(frozen=True)
+class CapacityConfig:
+    """Static array capacities (the XLA replacement for dynamic containers)."""
+
+    scan_points: int = 131072  # max raw points per scan (HDL-64 ~ 120k)
+    ring_points: int = 2560  # max points per scan ring after binning
+    edge_points: int = 8192  # extracted edge features per scan
+    surf_points: int = 131072  # extracted surf features per scan
+    ds_edge_points: int = 8192  # downsampled edge scan fed to registration
+    ds_surf_points: int = 32768  # downsampled surf scan fed to registration
+    edge_map_points: int = 65536
+    surf_map_points: int = 262144
+    knn_cells: int = 256  # kNN grid cells per axis (1 m cells, covers +-128 m)
+    knn_cell_size: float = 1.0
+    knn_candidates_per_cell: int = 16
+    knn_k: int = 5
+
+
+@dataclass(frozen=True)
+class GroundConfig:
+    """Grid-based ground segmentation (ref: include/preProcess.hpp:398-505)."""
+
+    grid_size: float = 3.0
+    neighbor_height_tol: float = 1.5  # cell min-z close to 3x3 neighbor min-z
+    point_height_tol: float = 0.3  # point within 0.3 m of cell min-z
+    num_cells: int = 64  # cells per axis (covers +-96 m at 3 m cells)
+
+
+@dataclass(frozen=True)
+class DCVCConfig:
+    """Dynamic curved-voxel clustering (ref: src/additionClass.cpp, config/config.yaml:49-54)."""
+
+    start_r: float = 0.35
+    delta_r: float = 0.0004
+    delta_p: float = 1.2
+    delta_a: float = 1.2
+    min_seg: int = 80
+    max_iters: int = 48  # label-propagation fixed-point iterations
+
+
+@dataclass(frozen=True)
+class PCAClassifyConfig:
+    """PCA beam/pillar/facade classifier (ref: include/preProcess.hpp:616-736)."""
+
+    neighbor_radius: float = 1.0
+    neighbor_k: int = 25
+    linear_vertical: float = 0.65  # linearity threshold (ref: :709-721)
+    dir_z_pillar: float = 0.94
+    dir_z_beam: float = 0.17
+    beam_min_z: float = 0.5
+    planar_threshold: float = 0.65
+    norm_z_facade: float = 0.34
+
+
+@dataclass(frozen=True)
+class PipelineConfig:
+    """Top-level pipeline selection + all stage configs.
+
+    ``mode`` selects the ES pipeline (the PFilter paper path: ring features ->
+    edge/surf odometry) or the BPF pipeline (ground seg -> DCVC -> PCA ->
+    beam/pillar/facade odometry), mirroring ``featurePreExtract`` in
+    launch/pfilter_kitti.launch:5-10.
+    """
+
+    mode: str = "es"  # "es" | "bpf"
+    lidar: LidarConfig = LidarConfig()
+    features: FeatureConfig = FeatureConfig()
+    odometry: OdometryConfig = OdometryConfig()
+    capacity: CapacityConfig = CapacityConfig()
+    ground: GroundConfig = GroundConfig()
+    dcvc: DCVCConfig = DCVCConfig()
+    pca: PCAClassifyConfig = PCAClassifyConfig()
+
+    def replace(self, **kwargs) -> "PipelineConfig":
+        return dataclasses.replace(self, **kwargs)
+
+
+def kitti_config() -> PipelineConfig:
+    """KITTI HDL-64 parameters (launch/pfilter_kitti.launch:49-64)."""
+    return PipelineConfig(
+        lidar=LidarConfig(num_lines=64, max_distance=90.0, min_distance=3.0),
+        odometry=OdometryConfig(k_new=0.0, theta_p=0.4, theta_max=75.0, map_resolution=0.4),
+    )
+
+
+def campus_32beam_config() -> PipelineConfig:
+    """32-beam low-speed UGV parameters (README.md:43)."""
+    return PipelineConfig(
+        lidar=LidarConfig(num_lines=32, max_distance=60.0, min_distance=2.0),
+        odometry=OdometryConfig(k_new=0.0, theta_p=1.0, theta_max=200.0, map_resolution=0.4),
+    )
+
+
+def floam_equivalent_config() -> PipelineConfig:
+    """Persistence filtering disabled — FLOAM-equivalent mode, params (0,0,0)
+    (README.md:44).  With theta_p=0 the eviction predicate never fires."""
+    return PipelineConfig(
+        odometry=OdometryConfig(k_new=0.0, theta_p=0.0, theta_max=0.0, map_resolution=0.4),
+    )
