@@ -1,0 +1,244 @@
+"""Ring-based edge/surf feature extraction — TPU-native form of the
+reference's ``LaserProcessingClass`` (ref: src/laserProcessingClass.cpp:10-209).
+
+The reference splits the cloud into scan rings by vertical angle, computes an
+11-point curvature per ring point, splits each ring into 6 azimuth sectors,
+sorts each sector by curvature, then *sequentially* picks the <=20 largest
+(curvature > 0.1) with +-5-neighbor non-max suppression that stops at gaps
+> 0.05 m^2; every unpicked curvature point becomes a surf point.
+
+TPU redesign (no sorts-of-structs, no sequential scans over points):
+
+1. points are stably sorted by ring id into a dense ``[rings, ring_cap]``
+   grid (original azimuth order preserved within each ring),
+2. curvature is an 11-tap window sum (vectorized shifts, VPU-friendly),
+3. the sequential pick-and-suppress loop becomes 20 iterations of *masked
+   argmax per (ring, sector)* — mathematically the same selection order as
+   the reference's sort-then-scan, because each iteration picks the current
+   maximum among unsuppressed candidates,
+4. suppression ranges are precomputed reach counts (how far the <=0.05 m^2
+   gap chain extends left/right of each point), so suppressing a pick is a
+   data-parallel range mask, and is clipped to the pick's own sector
+   (the reference's ``picked_points`` is local to each sector call).
+
+Known deliberate divergences from the reference (validated on drift, not
+bit-exactness — SURVEY.md §7f): sector boundaries cover every curvature point
+(the reference's iterator arithmetic drops one point per sector,
+src/laserProcessingClass.cpp:82-88), and fp argmax tie-breaking differs from
+std::sort ordering.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pfilter_tpu.config import CapacityConfig, FeatureConfig, LidarConfig
+
+
+class RingGrid(NamedTuple):
+    """Scan points laid out densely by (ring, azimuth rank)."""
+
+    xyz: jnp.ndarray  # [R, C, 3]
+    valid: jnp.ndarray  # [R, C] bool
+    length: jnp.ndarray  # [R] int32 — number of valid points in each ring
+
+
+class FeatureResult(NamedTuple):
+    """Edge/surf feature masks over the flattened ring grid."""
+
+    xyz: jnp.ndarray  # [R*C, 3]
+    edge_mask: jnp.ndarray  # [R*C] bool
+    surf_mask: jnp.ndarray  # [R*C] bool
+    curvature: jnp.ndarray  # [R*C] float32 (for tests/diagnostics)
+    ring: jnp.ndarray  # [R*C] int32
+
+
+def ring_ids(xyz: jnp.ndarray, mask: jnp.ndarray, lidar: LidarConfig):
+    """Vertical-angle ring assignment (ref: src/laserProcessingClass.cpp:22-64).
+
+    Returns (ring [N] int32, valid [N] bool).  Implements the reference's
+    16/32/64-beam formulas; points outside the distance gate or ring range
+    are invalid.
+    """
+    n = lidar.num_lines
+    dist = jnp.sqrt(xyz[:, 0] ** 2 + xyz[:, 1] ** 2)
+    in_range = (dist >= lidar.min_distance) & (dist <= lidar.max_distance)
+    angle = jnp.degrees(jnp.arctan2(xyz[:, 2], dist))
+
+    if n == 16:
+        ring = ((angle + 15.0) / 2.0 + 0.5).astype(jnp.int32)
+        ok = (ring >= 0) & (ring <= n - 1)
+    elif n == 32:
+        ring = ((angle + 92.0 / 3.0) * 3.0 / 4.0).astype(jnp.int32)
+        ok = (ring >= 0) & (ring <= n - 1)
+    elif n == 64:
+        upper = ((2.0 - angle) * 3.0 + 0.5).astype(jnp.int32)
+        lower = n // 2 + ((-8.83 - angle) * 2.0 + 0.5).astype(jnp.int32)
+        ring = jnp.where(angle >= -8.83, upper, lower)
+        ok = (angle <= 2.0) & (angle >= -24.33) & (ring >= 0) & (ring <= 63)
+    else:
+        raise ValueError(f"unsupported num_lines={n} (reference supports 16/32/64)")
+
+    valid = mask & in_range & ok
+    return jnp.where(valid, ring, n).astype(jnp.int32), valid
+
+
+def bin_rings(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    lidar: LidarConfig,
+    cap: CapacityConfig,
+) -> RingGrid:
+    """Scatter points into a dense [rings, ring_cap] grid, preserving the
+    original (azimuth) order within each ring via a stable sort."""
+    R, C = lidar.num_lines, cap.ring_points
+    ring, valid = ring_ids(xyz, mask, lidar)
+
+    order = jnp.argsort(ring, stable=True)  # invalid (ring == R) sort last
+    sorted_ring = ring[order]
+    sorted_xyz = xyz[order]
+    n_pts = xyz.shape[0]
+
+    # Rank of each sorted point within its ring.
+    ring_start = jnp.searchsorted(sorted_ring, jnp.arange(R + 1, dtype=jnp.int32))
+    rank = jnp.arange(n_pts, dtype=jnp.int32) - ring_start[jnp.clip(sorted_ring, 0, R)]
+    in_cap = (rank < C) & (sorted_ring < R)
+
+    dense_xyz = jnp.zeros((R, C, 3), xyz.dtype)
+    dense_valid = jnp.zeros((R, C), jnp.int32)
+    # Invalid entries are routed out of bounds and dropped by the scatter.
+    r_idx = jnp.where(in_cap, sorted_ring, R)
+    c_idx = jnp.where(in_cap, rank, C)
+    dense_xyz = dense_xyz.at[r_idx, c_idx].set(sorted_xyz, mode="drop")
+    dense_valid = dense_valid.at[r_idx, c_idx].set(1, mode="drop") > 0
+    length = jnp.minimum(ring_start[1:] - ring_start[:-1], C).astype(jnp.int32)
+    return RingGrid(xyz=dense_xyz, valid=dense_valid, length=length)
+
+
+def _window_sum(x: jnp.ndarray, half: int) -> jnp.ndarray:
+    """Sum over a (2*half+1)-tap window along axis 1 (zero padded)."""
+    pad = jnp.pad(x, ((0, 0), (half, half), (0, 0)))
+    out = jnp.zeros_like(x)
+    for k in range(2 * half + 1):
+        out = out + jax.lax.dynamic_slice_in_dim(pad, k, x.shape[1], axis=1)
+    return out
+
+
+def ring_curvature(grid: RingGrid, feat: FeatureConfig):
+    """11-point curvature (ref: src/laserProcessingClass.cpp:73-80):
+    ``|sum_{k=-5..5} p[j+k] - 11 p[j]|^2`` over positions with a full window.
+
+    Returns (curvature [R, C], curv_valid [R, C]).
+    """
+    h = feat.curvature_half_window
+    diff = _window_sum(grid.xyz, h) - (2 * h + 1) * grid.xyz
+    curv = jnp.sum(diff * diff, axis=-1)
+    c = grid.xyz.shape[1]
+    pos = jnp.arange(c, dtype=jnp.int32)[None, :]
+    ln = grid.length[:, None]
+    curv_valid = grid.valid & (pos >= h) & (pos < ln - h) & (ln >= feat.min_ring_points)
+    return curv, curv_valid
+
+
+def _suppression_reach(grid: RingGrid, feat: FeatureConfig):
+    """Precompute, for every ring position, how far the +-5 suppression chain
+    extends (ref: src/laserProcessingClass.cpp:128-145 — walk stops at the
+    first inter-point gap > 0.05 m^2).
+
+    gap_ok[j] == True when ||p[j] - p[j-1]||^2 <= threshold (j >= 1).
+    reach_right[j] = number of leading True in gap_ok[j+1 .. j+5]
+    reach_left[j]  = number of leading True in gap_ok[j, j-1, .. j-4]
+    """
+    t = feat.suppression_gap_sq
+    rr = feat.suppression_radius
+    d = grid.xyz[:, 1:] - grid.xyz[:, :-1]
+    gap_ok_core = (jnp.sum(d * d, -1) <= t) & grid.valid[:, 1:] & grid.valid[:, :-1]
+    gap_ok = jnp.pad(gap_ok_core, ((0, 0), (1, 0)))  # gap_ok[j] about (j-1, j)
+
+    C = grid.xyz.shape[1]
+    right = jnp.zeros(grid.valid.shape, jnp.int32)
+    chain = jnp.ones(grid.valid.shape, bool)
+    padded = jnp.pad(gap_ok, ((0, 0), (0, rr)))
+    for k in range(1, rr + 1):
+        chain = chain & jax.lax.dynamic_slice_in_dim(padded, k, C, axis=1)
+        right = right + chain.astype(jnp.int32)
+
+    left = jnp.zeros(grid.valid.shape, jnp.int32)
+    chain = jnp.ones(grid.valid.shape, bool)
+    padded_l = jnp.pad(gap_ok, ((0, 0), (rr, 0)))
+    for k in range(rr):
+        # k-th link of the left chain is gap_ok[j - k]
+        chain = chain & jax.lax.dynamic_slice_in_dim(padded_l, rr - k, C, axis=1)
+        left = left + chain.astype(jnp.int32)
+    return left, right
+
+
+def extract_features(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    lidar: LidarConfig,
+    feat: FeatureConfig,
+    cap: CapacityConfig,
+) -> FeatureResult:
+    """Full feature extraction (ref: featureExtraction + featureExtractionFromSector,
+    src/laserProcessingClass.cpp:10-209).
+
+    Returns edge/surf masks over the flattened dense ring grid; downstream
+    voxel downsampling consumes masked points directly (no compaction pass).
+    """
+    grid = bin_rings(xyz, mask, lidar, cap)
+    curv, curv_valid = ring_curvature(grid, feat)
+    reach_l, reach_r = _suppression_reach(grid, feat)
+
+    R, C = curv.shape
+    S = feat.num_sectors
+    pos = jnp.arange(C, dtype=jnp.int32)[None, :]
+    h = feat.curvature_half_window
+    total = jnp.maximum(grid.length - 2 * h, 1)[:, None]  # curvature points per ring
+    sector_len = jnp.maximum(total // S, 1)
+    sector_id = jnp.clip((pos - h) // sector_len, 0, S - 1)
+    sector_id = jnp.where(curv_valid, sector_id, -1)
+
+    sector_onehot = sector_id[None] == jnp.arange(S, dtype=jnp.int32)[:, None, None]  # [S,R,C]
+    threshold = feat.edge_curvature_threshold
+
+    def pick_body(_, state):
+        picked, edge_sel = state
+        eligible = curv_valid & ~picked & (curv > threshold)
+        score = jnp.where(sector_onehot & eligible[None], curv[None], -1.0)  # [S,R,C]
+        best = jnp.argmax(score, axis=-1)  # [S,R]
+        best_val = jnp.take_along_axis(score, best[..., None], -1)[..., 0]
+        found = best_val > threshold
+
+        lo = best - jnp.take_along_axis(reach_l[None].repeat(S, 0), best[..., None], -1)[..., 0]
+        hi = best + jnp.take_along_axis(reach_r[None].repeat(S, 0), best[..., None], -1)[..., 0]
+        # Suppress [lo, hi] within the pick's own sector; the picked point
+        # itself is always inside this range.
+        supp = (
+            (pos[None] >= lo[..., None])
+            & (pos[None] <= hi[..., None])
+            & sector_onehot
+            & found[..., None]
+        )
+        picked = picked | jnp.any(supp, axis=0)
+        is_best = pos[None] == best[..., None]
+        edge_sel = edge_sel | jnp.any(is_best & found[..., None], axis=0)
+        return picked, edge_sel
+
+    picked0 = jnp.zeros((R, C), bool)
+    edge0 = jnp.zeros((R, C), bool)
+    picked, edge_sel = jax.lax.fori_loop(
+        0, feat.max_edge_per_sector, pick_body, (picked0, edge0)
+    )
+
+    surf_sel = curv_valid & ~picked
+    return FeatureResult(
+        xyz=grid.xyz.reshape(-1, 3),
+        edge_mask=edge_sel.reshape(-1),
+        surf_mask=surf_sel.reshape(-1),
+        curvature=jnp.where(curv_valid, curv, 0.0).reshape(-1),
+        ring=jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, C)).reshape(-1),
+    )
