@@ -1,0 +1,181 @@
+"""Batched analytic Gauss-Newton for scan-to-map SE(3) registration.
+
+Replaces the reference's Ceres solve (DENSE_QR + HuberLoss(0.1) + <=4
+iterations, ref: src/odomEstimationClass.cpp:252-272) with fused batched
+kernels: residuals and 1x6 Jacobians for *all* correspondences are evaluated
+as dense array ops (MXU-friendly), robust weights come from Huber IRLS, the
+6x6 normal equations are a single ``J^T W J`` matmul reduce, and the step is
+a damped Cholesky solve + left-multiplicative se(3) update.
+
+Residual/Jacobian math mirrors the reference's analytic cost functions:
+
+- point-to-line (edge): ``r = |(Tp - a) x (Tp - b)| / |a - b|`` with
+  ``J = -nu^T/|nu| * skew(a-b) * [-skew(Tp) | I] / |a-b|``
+  (ref: src/lidarOptimization.cpp:12-46),
+- point-to-plane (surf): ``r = n . Tp + d`` with ``J = n^T [-skew(Tp) | I]``
+  (ref: src/lidarOptimization.cpp:56-78).
+
+Numerical note: Jacobian lever arms use *world* coordinates; to keep fp32
+well-conditioned the caller should re-center coordinates near the current
+pose (the engine subtracts the predicted translation from both map and scan
+before building factors — residuals are translation-invariant).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax.numpy as jnp
+
+from pfilter_tpu.ops import se3
+
+
+class Correspondences(NamedTuple):
+    """Fixed-size batch of residual factors (masked)."""
+
+    kind: str  # static: "edge" | "surf"
+    points: jnp.ndarray  # [M, 3] scan points (sensor frame)
+    geom_a: jnp.ndarray  # [M, 3] edge: endpoint a   | surf: unit normal
+    geom_b: jnp.ndarray  # [M, 3] edge: endpoint b   | surf: (d, 0, 0)
+    weight: jnp.ndarray  # [M] residual weight (1.0 when weightType == 0)
+    valid: jnp.ndarray  # [M] bool
+
+
+def edge_residual_jacobian(pose: se3.Pose, pts, pa, pb):
+    """Point-to-line residual + analytic 1x6 Jacobian (ref: src/lidarOptimization.cpp:12-46)."""
+    lp = se3.transform_points(pose, pts)  # [M, 3]
+    nu = jnp.cross(lp - pa, lp - pb)
+    de = pa - pb
+    de_norm = jnp.linalg.norm(de, axis=-1)
+    nu_norm = jnp.linalg.norm(nu, axis=-1)
+    safe_nu = jnp.maximum(nu_norm, 1e-12)
+    safe_de = jnp.maximum(de_norm, 1e-12)
+    r = nu_norm / safe_de
+
+    # d(nu)/d(lp) = skew(de) applied after d(lp)/d(xi) = [-skew(lp) | I]
+    # J = -nu^T/|nu| * skew(de) * dp_by_se3 / |de|
+    g = -jnp.einsum("mi,mij->mj", nu / safe_nu[:, None], se3.skew(de)) / safe_de[:, None]
+    j_rot = jnp.einsum("mi,mij->mj", g, -se3.skew(lp))
+    return r, jnp.concatenate([j_rot, g], axis=-1)
+
+
+def surf_residual_jacobian(pose: se3.Pose, pts, normal, d):
+    """Point-to-plane residual + analytic 1x6 Jacobian (ref: src/lidarOptimization.cpp:56-78)."""
+    pw = se3.transform_points(pose, pts)
+    r = jnp.sum(normal * pw, axis=-1) + d
+    j_rot = jnp.einsum("mi,mij->mj", normal, -se3.skew(pw))
+    return r, jnp.concatenate([j_rot, normal], axis=-1)
+
+
+def huber_irls_weight(r: jnp.ndarray, delta: float) -> jnp.ndarray:
+    """IRLS weight rho'(r^2) of Ceres' HuberLoss(delta): 1 inside the
+    quadratic zone, delta/|r| outside (ref loss: src/odomEstimationClass.cpp:254)."""
+    a = jnp.abs(r)
+    return jnp.where(a <= delta, 1.0, delta / jnp.maximum(a, 1e-12))
+
+
+def normal_equations(residuals, jacobians, weights, valid):
+    """Accumulate H = J^T W J (6x6) and b = J^T W r with row weights
+    ``weights`` (point weight^2 x IRLS) and a validity mask.  The reduce is a
+    single [6, M] @ [M, 6] matmul — MXU work, psum-able across map shards."""
+    w = jnp.where(valid, weights, 0.0)
+    jw = jacobians * w[:, None]
+    h = jw.T @ jacobians
+    b = jw.T @ residuals
+    return h, b
+
+
+def solve_step(h: jnp.ndarray, b: jnp.ndarray, damping: float) -> jnp.ndarray:
+    """Damped 6x6 solve for the GN step ``delta = -(H + lambda*diag(H))^-1 b``.
+
+    Levenberg-style scaling keeps the system well-posed when a direction is
+    unconstrained (e.g. few edge factors early on).
+    """
+    scale = jnp.maximum(jnp.diagonal(h), 1e-6)
+    hd = h + damping * jnp.diag(scale) + 1e-9 * jnp.eye(6, dtype=h.dtype)
+    l = jnp.linalg.cholesky(hd)
+    y = jnp.linalg.solve(l, -b)  # forward
+    delta = jnp.linalg.solve(l.T, y)
+    return delta
+
+
+def gn_iteration(pose: se3.Pose, factor_sets, huber_delta: float, damping: float):
+    """One Gauss-Newton step over any number of factor sets.
+
+    ``factor_sets`` is a sequence of :class:`Correspondences` (edge + surf in
+    ES mode; beam + pillar + facade in BPF mode).  Point weights scale both
+    the residual and the Jacobian (consistent IRLS — the reference applies
+    weights to residuals only and never to Jacobians, a documented bug,
+    src/lidarOptimization.cpp:25-28; we implement the consistent scheme).
+    """
+    h = jnp.zeros((6, 6), jnp.float32)
+    b = jnp.zeros(6, jnp.float32)
+    for fs in factor_sets:
+        if fs.kind == "edge":
+            r, j = edge_residual_jacobian(pose, fs.points, fs.geom_a, fs.geom_b)
+        elif fs.kind == "surf":
+            r, j = surf_residual_jacobian(pose, fs.points, fs.geom_a, fs.geom_b[:, 0])
+        else:
+            raise ValueError(fs.kind)
+        rw = r * fs.weight
+        jw = j * fs.weight[:, None]
+        irls = huber_irls_weight(rw, huber_delta)
+        hi, bi = normal_equations(rw, jw, irls, fs.valid)
+        h, b = h + hi, b + bi
+    delta = solve_step(h, b, damping)
+    return se3.pose_update_left(delta, pose), (h, b)
+
+
+def fit_lines(neighbors: jnp.ndarray, eig_ratio: float, half_length: float):
+    """Batched PCA line fit over [M, 5, 3] neighborhoods
+    (ref: src/odomEstimationClass.cpp:302-331): covariance eigendecomposition;
+    a line is valid iff lambda_max > eig_ratio * lambda_mid; endpoints are
+    centroid +- half_length * principal direction."""
+    center = jnp.mean(neighbors, axis=1)
+    zm = neighbors - center[:, None, :]
+    cov = jnp.einsum("mki,mkj->mij", zm, zm)
+    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    direction = evecs[..., 2]
+    ok = evals[..., 2] > eig_ratio * evals[..., 1]
+    pa = center + half_length * direction
+    pb = center - half_length * direction
+    return pa, pb, ok
+
+
+def fit_planes(neighbors: jnp.ndarray, tol: float):
+    """Batched plane fit over [M, 5, 3] neighborhoods.
+
+    The reference solves the inhomogeneous LS system ``A n = -1`` by QR
+    (ref: src/odomEstimationClass.cpp:449-463); we use the total-least-squares
+    plane (smallest covariance eigenvector), which is better conditioned in
+    fp32 and orthogonal-distance optimal.  Validity matches the reference
+    gate: every neighbor within ``tol`` of the plane (ref: :465-476).
+
+    Returns (normal [M,3], d [M], ok [M]) with plane n.p + d = 0.
+    """
+    center = jnp.mean(neighbors, axis=1)
+    zm = neighbors - center[:, None, :]
+    cov = jnp.einsum("mki,mkj->mij", zm, zm)
+    _, evecs = jnp.linalg.eigh(cov)
+    normal = evecs[..., 0]
+    d = -jnp.sum(normal * center, axis=-1)
+    resid = jnp.abs(jnp.einsum("mkj,mj->mk", neighbors, normal) + d[:, None])
+    ok = jnp.all(resid <= tol, axis=-1)
+    return normal, d, ok
+
+
+def minmax_normalize_weights(values: jnp.ndarray, valid: jnp.ndarray, floor: float):
+    """The reference's observeMean/pointSparsityMean normalizer
+    (ref: src/odomEstimationClass.cpp:136-160, include/odomEstimationClass.h:111-126):
+    min-max normalize over valid entries, fold (x -> |x-1|), scale to [0, 2],
+    optionally clamp to ``floor`` (0.1 for observe weights, 0 for sparsity).
+    If all values are equal the input is returned unchanged (weight 1)."""
+    big = jnp.float32(3.0e38)
+    vmin = jnp.min(jnp.where(valid, values, big))
+    vmax = jnp.max(jnp.where(valid, values, -big))
+    length = vmax - vmin
+    ok = (length > 0) & jnp.any(valid)
+    x = (values - vmin) / jnp.where(ok, length, 1.0)
+    x = jnp.abs(x - 1.0) * 2.0
+    x = jnp.maximum(x, floor)
+    return jnp.where(ok, x, 1.0)

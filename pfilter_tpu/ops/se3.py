@@ -137,26 +137,30 @@ def exp_se3(xi: jnp.ndarray) -> Pose:
     omega = xi[..., :3]
     upsilon = xi[..., 3:]
     theta_sq = jnp.sum(omega * omega, -1, keepdims=True)
-    theta = jnp.sqrt(theta_sq)
+    small = theta_sq < 1e-12
+    # Double-where: keep sqrt away from 0 on the non-Taylor path so reverse-
+    # and forward-mode gradients stay finite at xi == 0.
+    safe_sq = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(safe_sq)
     half = 0.5 * theta
-    small = theta < 1e-6
 
     # q = [cos(theta/2), sin(theta/2)/theta * omega]
+    w = jnp.where(small, 1.0 - theta_sq / 8.0 + theta_sq * theta_sq / 384.0, jnp.cos(half))
     imag = jnp.where(
         small,
         0.5 - theta_sq / 48.0 + theta_sq * theta_sq / 3840.0,
-        jnp.sin(half) / jnp.where(small, 1.0, theta),
+        jnp.sin(half) / theta,
     )
-    q = jnp.concatenate([jnp.cos(half), imag * omega], -1)
+    q = jnp.concatenate([w, imag * omega], -1)
 
     # t = V(omega) upsilon, V = I + (1-cos)/th^2 Om + (th - sin)/th^3 Om^2
     om = skew(omega)
     om2 = om @ om
-    a = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / jnp.where(small, 1.0, theta_sq))
+    a = jnp.where(small, 0.5 - theta_sq / 24.0, (1.0 - jnp.cos(theta)) / safe_sq)
     b = jnp.where(
         small,
         1.0 / 6.0 - theta_sq / 120.0,
-        (theta - jnp.sin(theta)) / jnp.where(small, 1.0, theta_sq * theta),
+        (theta - jnp.sin(theta)) / (safe_sq * theta),
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=xi.dtype), om.shape)
     V = eye + a[..., None] * om + b[..., None] * om2
@@ -169,21 +173,22 @@ def log_se3(pose: Pose) -> jnp.ndarray:
     q = quat_normalize(pose.q)
     w = jnp.clip(q[..., 0], -1.0, 1.0)
     v = q[..., 1:]
-    vn = jnp.linalg.norm(v, axis=-1, keepdims=True)
-    theta = 2.0 * jnp.arctan2(vn[..., 0], w)[..., None]
-    small = theta < 1e-6
-    omega = v * jnp.where(small, 2.0, theta / jnp.where(vn < 1e-12, 1.0, vn))
+    vn_sq = jnp.sum(v * v, -1, keepdims=True)
+    small_v = vn_sq < 1e-14
+    vn = jnp.sqrt(jnp.where(small_v, 1.0, vn_sq))
+    theta = 2.0 * jnp.arctan2(jnp.where(small_v, 0.0, vn), w[..., None])
+    omega = v * jnp.where(small_v, 2.0, theta / vn)
     theta_sq = jnp.sum(omega * omega, -1, keepdims=True)
-    theta = jnp.sqrt(theta_sq)
+    small = theta_sq < 1e-12
+    safe_sq = jnp.where(small, 1.0, theta_sq)
+    theta = jnp.sqrt(safe_sq)
     om = skew(omega)
     om2 = om @ om
-    small = theta < 1e-6
     # V^{-1} = I - 1/2 Om + (1/th^2 - (1+cos)/(2 th sin)) Om^2
     coef = jnp.where(
         small,
         1.0 / 12.0 + theta_sq / 720.0,
-        (1.0 - theta * jnp.cos(theta * 0.5) / (2.0 * jnp.where(small, 1.0, jnp.sin(theta * 0.5))))
-        / jnp.where(small, 1.0, theta_sq),
+        (1.0 - theta * jnp.cos(theta * 0.5) / (2.0 * jnp.sin(theta * 0.5))) / safe_sq,
     )
     eye = jnp.broadcast_to(jnp.eye(3, dtype=omega.dtype), om.shape)
     Vinv = eye - 0.5 * om + coef[..., None] * om2
