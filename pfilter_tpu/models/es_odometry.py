@@ -1,0 +1,349 @@
+"""ES (edge + surf) scan-to-map odometry — the PFilter paper's core loop.
+
+TPU-native re-design of ``Odom_ES_EstimationClass``
+(ref: src/odomEstimationClass.cpp:182-647).  One frame =
+
+  1. constant-velocity pose prediction (ref: :235-240),
+  2. voxel downsample of the edge/surf feature clouds (ref: :242-245),
+  3. ``opt_count`` outer iterations (12 decaying to 2, ref: :232-233,252) of
+     correspondence building + persistence gating + 4 Gauss-Newton steps
+     (replacing Ceres DENSE_QR, ref: :263-271),
+  4. map merge: transform scan into world, crop, rgbds re-voxelize,
+     persistence eviction, aging (ref: :589-647).
+
+Everything after the host hands over the (already feature-extracted) scan is
+one jit-compiled XLA program: the KD-tree of the reference becomes the sorted
+voxel grid (ops.knn), the sequential per-point factor loop becomes batched
+masked association, and the per-point ``g``-counter increments become one
+capped scatter-add per outer iteration.
+
+Batched persistence semantics (SURVEY.md §7b): the reference increments map
+``g`` counters *during* the sequential factor loop, so a scan point late in
+the loop can observe increments from earlier points of the same iteration.
+Here all reads use the iteration-start counters and all increments are
+applied at once — the once-per-iteration semantics the reference effectively
+approximates.
+
+fp32 conditioning: association and GN run in a frame re-centered at the
+predicted translation, so Jacobian lever arms stay bounded by the crop radius
+instead of growing with trajectory length.
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pfilter_tpu.config import PipelineConfig
+from pfilter_tpu.models import map_state
+from pfilter_tpu.ops import gauss_newton as gn
+from pfilter_tpu.ops import knn, se3, voxel
+
+
+class ESState(NamedTuple):
+    edge_map: knn.HashGrid
+    surf_map: knn.HashGrid
+    pose: se3.Pose  # world <- sensor
+    last_pose: se3.Pose
+    opt_count: jnp.ndarray  # [] int32
+
+
+class FrameDiag(NamedTuple):
+    n_edge_corr: jnp.ndarray
+    n_surf_corr: jnp.ndarray
+    edge_map_size: jnp.ndarray
+    surf_map_size: jnp.ndarray
+
+
+def init_state(cfg: PipelineConfig) -> ESState:
+    cap = cfg.capacity
+    cell = cap.knn_cell_size
+    return ESState(
+        edge_map=map_state.empty_map(cap.edge_map_points, cell),
+        surf_map=map_state.empty_map(cap.surf_map_points, cell),
+        pose=se3.identity_pose(),
+        last_pose=se3.identity_pose(),
+        opt_count=jnp.asarray(cfg.odometry.max_outer_iters, jnp.int32),
+    )
+
+
+def _compact(xyz: jnp.ndarray, mask: jnp.ndarray, out_cap: int):
+    """Gather masked points into a fixed-size prefix (cheaper than sorting)."""
+    idx = jnp.nonzero(mask, size=out_cap, fill_value=xyz.shape[0] - 1)[0]
+    valid = jnp.arange(out_cap) < jnp.sum(mask.astype(jnp.int32))
+    return xyz[idx], valid
+
+
+def first_frame(state: ESState, feat, cfg: PipelineConfig) -> ESState:
+    """Seed the maps with the raw first-scan features
+    (ref ``initMapWithPoints``, src/odomEstimationClass.cpp:217-222)."""
+    cap = cfg.capacity
+    cell = cap.knn_cell_size
+    e_xyz, e_valid = _compact(feat.xyz, feat.edge_mask, cap.edge_map_points)
+    s_xyz, s_valid = _compact(feat.xyz, feat.surf_mask, cap.surf_map_points)
+    zeros_e = jnp.zeros((cap.edge_map_points, 2), jnp.float32)
+    zeros_s = jnp.zeros((cap.surf_map_points, 2), jnp.float32)
+    origin_t = state.pose.t
+    return state._replace(
+        edge_map=knn.build_grid(
+            e_xyz, zeros_e, e_valid, knn.grid_origin_for_pose(origin_t, cell), cell
+        ),
+        surf_map=knn.build_grid(
+            s_xyz, zeros_s, s_valid, knn.grid_origin_for_pose(origin_t, cell), cell
+        ),
+        opt_count=jnp.asarray(cfg.odometry.max_outer_iters, jnp.int32),
+    )
+
+
+class _Assoc(NamedTuple):
+    """Result of one association pass over one feature type."""
+
+    geom_a: jnp.ndarray  # [M,3] line endpoint a / plane normal
+    geom_b: jnp.ndarray  # [M,3] line endpoint b / (plane d, 0, 0)
+    valid: jnp.ndarray  # [M] — gated correspondence mask
+    weight_obs: jnp.ndarray  # [M] raw observe values (for weightType 1/12)
+    weight_spr: jnp.ndarray  # [M] raw sparsity values (for weightType 2/12)
+    scan_rg: jnp.ndarray  # [M,2] r/g to write back into matched scan points
+    g_increment: jnp.ndarray  # [MAP_CAP] counter increments for this pass
+
+
+def _associate(
+    kind: str,
+    grid: knn.HashGrid,
+    map_rg: jnp.ndarray,
+    pose_local: se3.Pose,
+    center: jnp.ndarray,
+    scan_xyz: jnp.ndarray,
+    scan_valid: jnp.ndarray,
+    scan_rg: jnp.ndarray,
+    cfg: PipelineConfig,
+) -> _Assoc:
+    """One correspondence-building pass (ref ``addEdgeCostFactor`` /
+    ``addSurfCostFactor``, src/odomEstimationClass.cpp:284-578): 5-NN lookup,
+    geometric fit, persistence read/update/gate, weight statistics."""
+    o = cfg.odometry
+    c = cfg.capacity
+    k = c.knn_k
+
+    # Query in world coords; knn grid stores world points.
+    q_world = se3.transform_points(pose_local, scan_xyz) + center
+    res = knn.knn_query(grid, q_world, scan_valid, k, c.knn_candidates_per_cell)
+    gate = res.sqdist[:, k - 1] < o.nn_gate_sq
+
+    neigh = grid.xyz[res.idx] - center  # [M,5,3] local frame for fp32 fits
+    if kind == "edge":
+        pa, pb, fit_ok = gn.fit_lines(neigh, o.line_eig_ratio, o.line_half_length)
+        geom_a, geom_b = pa, pb
+    else:
+        normal, d, fit_ok = gn.fit_planes(neigh, o.plane_fit_tol)
+        geom_a = normal
+        geom_b = jnp.stack([d, jnp.zeros_like(d), jnp.zeros_like(d)], -1)
+
+    matched = scan_valid & gate & fit_ok
+
+    # Persistence read (ref: :332-344): observe = mean(g)+1, round = mean(r).
+    g5 = map_rg[res.idx, 1]
+    r5 = map_rg[res.idx, 0]
+    observe = jnp.mean(g5, axis=1) + 1.0
+    round_ = jnp.mean(r5, axis=1)
+    # g increment for all matched correspondences (ref: :345-346) — happens
+    # *before* the persistence gate.
+    inc = jnp.zeros(grid.rg.shape[0], jnp.float32)
+    inc = inc.at[res.idx.reshape(-1)].add(
+        jnp.repeat(matched.astype(jnp.float32), k), mode="drop"
+    )
+    # Saturation: observe/round > 5 -> observe = 255 (ref: :348-349; round == 0
+    # divides to inf in the C++ and saturates too).
+    observe = jnp.where(observe > o.observe_saturate_ratio * round_, o.counter_cap, observe)
+    # Persistence gate (ref: :350-353): drop iff
+    # observe < round*theta_p && round > k_new && observe < theta_max.
+    gated_out = (observe < round_ * o.theta_p) & (round_ > o.k_new) & (observe < o.theta_max)
+    valid_corr = matched & ~gated_out
+
+    # Write r/g back into the scan point (ref: :354-355) — these travel into
+    # the map at merge time.
+    new_rg = jnp.stack(
+        [
+            jnp.minimum(o.counter_cap, jnp.floor(round_)),
+            jnp.minimum(o.counter_cap, jnp.floor(observe)),
+        ],
+        -1,
+    )
+    scan_rg = jnp.where(valid_corr[:, None], new_rg, scan_rg)
+
+    # Sparsity statistic (ref: :367-385): mean distance of the 5 neighbors to
+    # their centroid.
+    nc = jnp.mean(neigh, axis=1, keepdims=True)
+    sparsity = jnp.mean(jnp.linalg.norm(neigh - nc, axis=-1), axis=1)
+
+    return _Assoc(
+        geom_a=geom_a,
+        geom_b=geom_b,
+        valid=valid_corr,
+        weight_obs=observe,
+        weight_spr=sparsity,
+        scan_rg=scan_rg,
+        g_increment=inc,
+    )
+
+
+def _weights(assoc: _Assoc, weight_type: int) -> jnp.ndarray:
+    """Residual weights by weightType (ref: :389-426, :536-571).  Applied to
+    both residual and Jacobian (consistent IRLS; the reference scales only
+    residuals — documented divergence, see ops.gauss_newton)."""
+    if weight_type == 0:
+        return jnp.ones_like(assoc.weight_obs)
+    w_obs = gn.minmax_normalize_weights(assoc.weight_obs, assoc.valid, floor=0.1)
+    w_spr = gn.minmax_normalize_weights(assoc.weight_spr, assoc.valid, floor=0.0)
+    if weight_type == 1:
+        return w_obs
+    if weight_type == 2:
+        return w_spr
+    if weight_type == 12:
+        return 0.5 * (w_obs + w_spr)
+    raise ValueError(f"unknown weight_type {weight_type}")
+
+
+def es_step(state: ESState, feat, cfg: PipelineConfig):
+    """One odometry frame (ref ``updatePointsToMap``,
+    src/odomEstimationClass.cpp:229-282).  ``feat`` is a FeatureResult from
+    ops.features.  Returns (new_state, FrameDiag)."""
+    o = cfg.odometry
+    cap = cfg.capacity
+
+    opt_count = jnp.maximum(o.min_outer_iters, state.opt_count - 1)
+    pred = se3.constant_velocity_predict(state.pose, state.last_pose)
+    last_pose = state.pose
+
+    # Downsample feature clouds (ref: :242-245; edge at map_resolution, surf
+    # at 2x — the same leaf sizes as the map rgbds).
+    e_xyz, e_valid = _compact(feat.xyz, feat.edge_mask, cap.surf_points)
+    s_xyz, s_valid = _compact(feat.xyz, feat.surf_mask, cap.surf_points)
+    zeros = jnp.zeros((cap.surf_points, 2), jnp.float32)
+    ds_edge = voxel.voxel_downsample_rgbds(
+        voxel.PointSet(e_xyz, zeros, e_valid), o.map_resolution, cap.ds_edge_points
+    )
+    ds_surf = voxel.voxel_downsample_rgbds(
+        voxel.PointSet(s_xyz, zeros, s_valid), o.map_resolution * 2.0, cap.ds_surf_points
+    )
+
+    center = pred.t  # fp32 re-centering origin
+    pose0 = se3.Pose(q=pred.q, t=jnp.zeros(3, jnp.float32))
+
+    enough = (state.edge_map.valid.sum() > 10) & (state.surf_map.valid.sum() > 50)
+    opt_eff = jnp.where(enough, opt_count, 0)
+
+    edge_grid, surf_grid = state.edge_map, state.surf_map
+
+    def outer_body(carry):
+        q, t_l, e_rg, s_rg, se_rg, ss_rg, _, _, it = carry
+        pose_l = se3.Pose(q=q, t=t_l)
+
+        ea = _associate(
+            "edge", edge_grid, e_rg, pose_l, center, ds_edge.xyz, ds_edge.valid, se_rg, cfg
+        )
+        sa = _associate(
+            "surf", surf_grid, s_rg, pose_l, center, ds_surf.xyz, ds_surf.valid, ss_rg, cfg
+        )
+
+        e_rg = e_rg.at[:, 1].set(jnp.minimum(o.counter_cap, e_rg[:, 1] + ea.g_increment))
+        s_rg = s_rg.at[:, 1].set(jnp.minimum(o.counter_cap, s_rg[:, 1] + sa.g_increment))
+
+        factors = [
+            gn.Correspondences(
+                kind="edge",
+                points=ds_edge.xyz,
+                geom_a=ea.geom_a,
+                geom_b=ea.geom_b,
+                weight=_weights(ea, o.weight_type),
+                valid=ea.valid,
+            ),
+            gn.Correspondences(
+                kind="surf",
+                points=ds_surf.xyz,
+                geom_a=sa.geom_a,
+                geom_b=sa.geom_b,
+                weight=_weights(sa, o.weight_type),
+                valid=sa.valid,
+            ),
+        ]
+
+        def inner(_, pose):
+            new_pose, _ = gn.gn_iteration(pose, factors, o.huber_delta, o.gn_damping)
+            return new_pose
+
+        pose_l = jax.lax.fori_loop(0, o.inner_gn_iters, inner, pose_l)
+        return (
+            pose_l.q,
+            pose_l.t,
+            e_rg,
+            s_rg,
+            ea.scan_rg,
+            sa.scan_rg,
+            ea.valid.sum(),
+            sa.valid.sum(),
+            it + 1,
+        )
+
+    def outer_cond(carry):
+        return carry[-1] < opt_eff
+
+    init = (
+        pose0.q,
+        pose0.t,
+        edge_grid.rg,
+        surf_grid.rg,
+        ds_edge.rg,
+        ds_surf.rg,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns, _ = jax.lax.while_loop(
+        outer_cond, outer_body, init
+    )
+
+    pose = se3.Pose(q=q, t=t_l + center)
+
+    # Map merge (ref addPointsToMap, :589-647) in world coords.
+    edge_world = se3.transform_points(pose, ds_edge.xyz)
+    surf_world = se3.transform_points(pose, ds_surf.xyz)
+    new_edge = map_state.merge_scan_into_map(
+        edge_grid._replace(rg=e_rg),
+        edge_world,
+        se_rg,
+        ds_edge.valid,
+        pose.t,
+        o.map_resolution,
+        o,
+        cap.edge_map_points,
+        cap.knn_cell_size,
+    )
+    new_surf = map_state.merge_scan_into_map(
+        surf_grid._replace(rg=s_rg),
+        surf_world,
+        ss_rg,
+        ds_surf.valid,
+        pose.t,
+        o.map_resolution * 2.0,
+        o,
+        cap.surf_map_points,
+        cap.knn_cell_size,
+    )
+
+    new_state = ESState(
+        edge_map=new_edge,
+        surf_map=new_surf,
+        pose=pose,
+        last_pose=last_pose,
+        opt_count=opt_count,
+    )
+    diag = FrameDiag(
+        n_edge_corr=ne,
+        n_surf_corr=ns,
+        edge_map_size=new_edge.valid.sum(),
+        surf_map_size=new_surf.valid.sum(),
+    )
+    return new_state, diag

@@ -82,20 +82,21 @@ def build_grid(
     )
 
 
-_NEIGHBOR_OFFSETS = None
+import numpy as _np
+
+_NEIGHBOR_OFFSETS = _np.array(
+    [
+        dx * (_GRID_N * _GRID_N) + dy * _GRID_N + dz
+        for dx in (-1, 0, 1)
+        for dy in (-1, 0, 1)
+        for dz in (-1, 0, 1)
+    ],
+    _np.int32,
+)
 
 
 def _neighbor_offsets() -> jnp.ndarray:
-    global _NEIGHBOR_OFFSETS
-    if _NEIGHBOR_OFFSETS is None:
-        offs = [
-            dx * (_GRID_N * _GRID_N) + dy * _GRID_N + dz
-            for dx in (-1, 0, 1)
-            for dy in (-1, 0, 1)
-            for dz in (-1, 0, 1)
-        ]
-        _NEIGHBOR_OFFSETS = jnp.array(offs, jnp.int32)
-    return _NEIGHBOR_OFFSETS
+    return jnp.asarray(_NEIGHBOR_OFFSETS)
 
 
 def knn_query(

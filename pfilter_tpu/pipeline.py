@@ -1,0 +1,124 @@
+"""Host-side pipeline driver: the replacement for the reference's ROS node
+graph (src/laserProcessingNode.cpp + src/odomEstimationNode.cpp).
+
+The reference runs feature extraction and odometry as separate OS processes
+connected by serialized pub/sub queues; here each frame is two jit-compiled
+XLA programs (extract -> odometry step) with arrays staying on device, and
+the host loop only feeds raw scans and collects poses.
+"""
+
+from __future__ import annotations
+
+import time
+from dataclasses import dataclass, field
+from typing import Iterable, Optional
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from pfilter_tpu.config import PipelineConfig
+from pfilter_tpu.models import es_odometry
+from pfilter_tpu.ops import features, se3
+
+
+@dataclass
+class FrameRecord:
+    pose_q: np.ndarray
+    pose_t: np.ndarray
+    n_edge_corr: int
+    n_surf_corr: int
+    edge_map_size: int
+    surf_map_size: int
+    ms: float
+
+
+@dataclass
+class ESPipeline:
+    """End-to-end ES odometry over a scan stream."""
+
+    cfg: PipelineConfig
+    state: Optional[es_odometry.ESState] = None
+    records: list = field(default_factory=list)
+    _n_frames: int = 0
+
+    def __post_init__(self):
+        cfg = self.cfg
+
+        def _extract(xyz, mask):
+            return features.extract_features(xyz, mask, cfg.lidar, cfg.features, cfg.capacity)
+
+        def _first(state, feat):
+            return es_odometry.first_frame(state, feat, cfg)
+
+        def _step(state, feat):
+            return es_odometry.es_step(state, feat, cfg)
+
+        self._extract = jax.jit(_extract)
+        self._first = jax.jit(_first)
+        self._step = jax.jit(_step, donate_argnums=(0,))
+
+    def _pad_scan(self, xyz: np.ndarray, valid: Optional[np.ndarray]):
+        cap = self.cfg.capacity.scan_points
+        n = min(len(xyz), cap)
+        out = np.zeros((cap, 3), np.float32)
+        out[:n] = xyz[:n]
+        mask = np.zeros(cap, bool)
+        if valid is None:
+            mask[:n] = True
+        else:
+            mask[:n] = valid[:n]
+        return jnp.asarray(out), jnp.asarray(mask)
+
+    def process_frame(self, xyz, valid=None) -> FrameRecord:
+        """Feed one sensor-frame scan ([N,3] float32 + optional validity)."""
+        t0 = time.perf_counter()
+        if isinstance(xyz, np.ndarray):
+            xyz_d, mask_d = self._pad_scan(xyz, valid)
+        else:
+            xyz_d = xyz
+            mask_d = (
+                valid
+                if valid is not None
+                else jnp.ones(xyz.shape[0], bool)
+            )
+        feat = self._extract(xyz_d, mask_d)
+        if self.state is None:
+            self.state = es_odometry.init_state(self.cfg)
+            self.state = self._first(self.state, feat)
+            diag = es_odometry.FrameDiag(
+                n_edge_corr=jnp.asarray(0),
+                n_surf_corr=jnp.asarray(0),
+                edge_map_size=self.state.edge_map.valid.sum(),
+                surf_map_size=self.state.surf_map.valid.sum(),
+            )
+        else:
+            self.state, diag = self._step(self.state, feat)
+        jax.block_until_ready(self.state.pose.t)
+        ms = (time.perf_counter() - t0) * 1e3
+        rec = FrameRecord(
+            pose_q=np.asarray(self.state.pose.q),
+            pose_t=np.asarray(self.state.pose.t),
+            n_edge_corr=int(diag.n_edge_corr),
+            n_surf_corr=int(diag.n_surf_corr),
+            edge_map_size=int(diag.edge_map_size),
+            surf_map_size=int(diag.surf_map_size),
+            ms=ms,
+        )
+        self.records.append(rec)
+        self._n_frames += 1
+        return rec
+
+    def run(self, scans: Iterable) -> list:
+        for item in scans:
+            if isinstance(item, tuple):
+                self.process_frame(*item)
+            else:
+                self.process_frame(item)
+        return self.records
+
+    @property
+    def trajectory(self):
+        q = np.stack([r.pose_q for r in self.records])
+        t = np.stack([r.pose_t for r in self.records])
+        return q, t

@@ -1,0 +1,102 @@
+"""End-to-end ES odometry tests on a synthetic world (SURVEY.md §4's
+integration tier, standing in for the KITTI harness when no dataset is
+present).  A 16-beam simulator renders scans along a known trajectory; the
+pipeline must track it with small drift."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pfilter_tpu.config import (
+    CapacityConfig,
+    FeatureConfig,
+    LidarConfig,
+    OdometryConfig,
+    PipelineConfig,
+)
+from pfilter_tpu.pipeline import ESPipeline
+from pfilter_tpu.utils import metrics, synthetic
+
+
+def small_config():
+    return PipelineConfig(
+        lidar=LidarConfig(num_lines=16, min_distance=1.0, max_distance=60.0),
+        features=FeatureConfig(),
+        odometry=OdometryConfig(map_resolution=0.4, max_outer_iters=8),
+        capacity=CapacityConfig(
+            scan_points=16384,
+            ring_points=1024,
+            edge_points=2048,
+            surf_points=16384,
+            ds_edge_points=2048,
+            ds_surf_points=8192,
+            edge_map_points=16384,
+            surf_map_points=65536,
+        ),
+    )
+
+
+def _relative_to_first(mats: np.ndarray) -> np.ndarray:
+    """Express a trajectory in its first frame (odometry convention: the
+    engine's world frame is the first sensor pose)."""
+    inv0 = np.linalg.inv(mats[0])
+    return np.einsum("ij,njk->nik", inv0, mats)
+
+
+@pytest.fixture(scope="module")
+def synthetic_run():
+    cfg = small_config()
+    world = synthetic.make_world(seed=3, corridor_len=80.0)
+    n_frames = 12
+    poses = synthetic.make_trajectory(n_frames, speed=0.8)
+    xyz, valid = synthetic.render_sequence(world, poses, cfg.lidar, n_azimuth=900, noise=0.005)
+    gt = metrics.poses_to_matrices(np.asarray(poses.q), np.asarray(poses.t))
+    gt_rel = _relative_to_first(gt)
+    return cfg, gt_rel, np.asarray(xyz), np.asarray(valid)
+
+
+def test_es_tracks_trajectory(synthetic_run):
+    cfg, gt_rel, xyz, valid = synthetic_run
+    pipe = ESPipeline(cfg=cfg)
+    for i in range(len(xyz)):
+        pipe.process_frame(xyz[i], valid[i])
+
+    q, t = pipe.trajectory
+    gt_t = gt_rel[:, :3, 3]
+
+    # Sanity on the maps/correspondences.
+    last = pipe.records[-1]
+    assert last.n_surf_corr > 100, "surf correspondences should be plentiful"
+    assert last.surf_map_size > 1000
+
+    err = np.linalg.norm(t - gt_t, axis=1)
+    # ~10 m of travel; sub-decimeter tracking expected from clean data.
+    assert err[-1] < 0.15, f"final position error {err[-1]:.3f} m too large (errors {err})"
+    assert err.max() < 0.2, f"max error {err.max():.3f} m"
+
+
+def test_es_rotation_accuracy(synthetic_run):
+    cfg, gt_rel, xyz, valid = synthetic_run
+    pipe = ESPipeline(cfg=cfg)
+    for i in range(len(xyz)):
+        pipe.process_frame(xyz[i], valid[i])
+    q, t = pipe.trajectory
+    est = metrics.poses_to_matrices(q, t)
+    r = metrics.rpe(gt_rel, est, delta=1)
+    assert r["r_rmse_deg"] < 0.5, r
+    assert r["t_rmse_m"] < 0.08, r
+
+
+def test_persistence_counters_active(synthetic_run):
+    """After several frames, map points must carry nonzero observation
+    counters (g) and ages (r) — the PFilter machinery is live."""
+    cfg, gt_rel, xyz, valid = synthetic_run
+    pipe = ESPipeline(cfg=cfg)
+    for i in range(6):
+        pipe.process_frame(xyz[i], valid[i])
+    surf = pipe.state.surf_map
+    rg = np.asarray(surf.rg)[np.asarray(surf.valid)]
+    assert (rg[:, 0] > 0).any(), "ages should accumulate"
+    assert (rg[:, 1] > 0).any(), "observation counts should accumulate"
+    # ages grow by 2 per merge, capped at 255
+    assert rg[:, 0].max() <= 255.0
