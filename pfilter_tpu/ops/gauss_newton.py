@@ -164,18 +164,30 @@ def fit_planes(neighbors: jnp.ndarray, tol: float):
     return normal, d, ok
 
 
+def masked_minmax(values: jnp.ndarray, valid: jnp.ndarray):
+    big = jnp.float32(3.0e38)
+    vmin = jnp.min(jnp.where(valid, values, big))
+    vmax = jnp.max(jnp.where(valid, values, -big))
+    return vmin, vmax
+
+
+def fold_normalize(values, vmin, vmax, floor: float):
+    """Core of the reference's weight normalizers: min-max normalize, fold
+    (x -> |x-1|), scale to [0, 2], clamp at ``floor``.  ``vmin``/``vmax`` may
+    come from a cross-shard reduction (lax.pmin/pmax) in distributed mode."""
+    length = vmax - vmin
+    ok = length > 0
+    x = (values - vmin) / jnp.where(ok, length, 1.0)
+    x = jnp.abs(x - 1.0) * 2.0
+    x = jnp.maximum(x, floor)
+    return jnp.where(ok, x, 1.0)
+
+
 def minmax_normalize_weights(values: jnp.ndarray, valid: jnp.ndarray, floor: float):
     """The reference's observeMean/pointSparsityMean normalizer
     (ref: src/odomEstimationClass.cpp:136-160, include/odomEstimationClass.h:111-126):
     min-max normalize over valid entries, fold (x -> |x-1|), scale to [0, 2],
     optionally clamp to ``floor`` (0.1 for observe weights, 0 for sparsity).
-    If all values are equal the input is returned unchanged (weight 1)."""
-    big = jnp.float32(3.0e38)
-    vmin = jnp.min(jnp.where(valid, values, big))
-    vmax = jnp.max(jnp.where(valid, values, -big))
-    length = vmax - vmin
-    ok = (length > 0) & jnp.any(valid)
-    x = (values - vmin) / jnp.where(ok, length, 1.0)
-    x = jnp.abs(x - 1.0) * 2.0
-    x = jnp.maximum(x, floor)
-    return jnp.where(ok, x, 1.0)
+    If all values are equal the weights degenerate to 1."""
+    vmin, vmax = masked_minmax(values, valid)
+    return jnp.where(jnp.any(valid), fold_normalize(values, vmin, vmax, floor), 1.0)

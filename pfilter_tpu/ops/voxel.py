@@ -68,7 +68,37 @@ def voxel_ids_dynamic(xyz: jnp.ndarray, valid: jnp.ndarray, leaf: float):
     return jnp.where(valid, ids, _INVALID_ID)
 
 
-def voxel_downsample_rgbds(points: PointSet, leaf: float, out_cap: int) -> PointSet:
+def voxel_ids_anchored(
+    xyz: jnp.ndarray, valid: jnp.ndarray, leaf: float, anchor_t: jnp.ndarray
+):
+    """Voxel ids on an *absolute* grid (boundaries at integer multiples of
+    ``leaf``), packed relative to a 512^3 window centered at ``anchor_t``.
+
+    Unlike :func:`voxel_ids_dynamic` (min-anchored, like the reference), the
+    decomposition is independent of which points are present — required by
+    the sharded map so every shard agrees on voxel boundaries and a voxel's
+    centroid stays inside its voxel (ownership invariant).
+    """
+    base = jnp.floor(anchor_t / leaf).astype(jnp.int32) - 256
+    ijk = jnp.floor(xyz / leaf).astype(jnp.int32) - base
+    in_window = jnp.all((ijk >= 0) & (ijk < 512), axis=-1)
+    ijk = jnp.clip(ijk, 0, 511)
+    ids = ijk[:, 0] * (512 * 512) + ijk[:, 1] * 512 + ijk[:, 2]
+    return jnp.where(valid & in_window, ids, _INVALID_ID)
+
+
+def spatial_hash(xyz: jnp.ndarray, leaf: float) -> jnp.ndarray:
+    """Frame-invariant spatial hash of absolute voxel coordinates (classic
+    XOR-of-primes).  Used only as a partition function for map sharding —
+    collisions are harmless there."""
+    ijk = jnp.floor(xyz / leaf).astype(jnp.int32)
+    h = (ijk[:, 0] * 73856093) ^ (ijk[:, 1] * 19349663) ^ (ijk[:, 2] * 83492791)
+    return h & 0x7FFFFFFF
+
+
+def voxel_downsample_rgbds(
+    points: PointSet, leaf: float, out_cap: int, anchor_t=None
+) -> PointSet:
     """Per-voxel centroid + max-r + max-g downsample (ref rgbds,
     src/odomEstimationClass.cpp:34-134).
 
@@ -77,7 +107,10 @@ def voxel_downsample_rgbds(points: PointSet, leaf: float, out_cap: int) -> Point
     ``out_cap``, the highest-id voxels are dropped (capacity should be sized
     so this never binds; see CapacityConfig).
     """
-    ids = voxel_ids_dynamic(points.xyz, points.valid, leaf)
+    if anchor_t is None:
+        ids = voxel_ids_dynamic(points.xyz, points.valid, leaf)
+    else:
+        ids = voxel_ids_anchored(points.xyz, points.valid, leaf, anchor_t)
     order = jnp.argsort(ids)
     sid = ids[order]
     sxyz = points.xyz[order]
