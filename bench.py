@@ -1,0 +1,107 @@
+"""Benchmark: ES odometry frames/sec + drift on a synthetic HDL-64 sequence.
+
+The reference's headline budget is real-time 10 Hz HDL-64 odometry
+(launch/pfilter_kitti.launch:55, BASELINE.md).  No KITTI data ships in this
+environment, so the bench ray-casts a KITTI-like urban corridor (64 beams,
+~115k rays/frame, ground-truth poses) and runs the full pipeline — feature
+extraction, persistence-filtered scan-to-map GN, map merge — on the device,
+reporting steady-state frames/sec and KITTI-protocol drift.
+
+Prints ONE JSON line:
+  {"metric": "frames_per_sec_es64", "value": <fps>, "unit": "fps",
+   "vs_baseline": <fps/10.0>, ...extras}
+"""
+
+import argparse
+import json
+import time
+
+import numpy as np
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--frames", type=int, default=120)
+    ap.add_argument("--azimuth", type=int, default=1800)
+    ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
+    ap.add_argument("--speed", type=float, default=1.5, help="meters per frame")
+    args = ap.parse_args()
+
+    import jax
+
+    if args.cpu:
+        jax.config.update("jax_platforms", "cpu")
+    import jax.numpy as jnp
+
+    from pfilter_tpu.config import kitti_config
+    from pfilter_tpu.pipeline import ESPipeline
+    from pfilter_tpu.utils import metrics, synthetic
+
+    cfg = kitti_config()
+    world = synthetic.make_world(seed=7, corridor_len=args.frames * args.speed + 60.0)
+    poses = synthetic.make_trajectory(args.frames, speed=args.speed)
+
+    # Render on device, frame by frame (keeps memory flat).
+    render = jax.jit(
+        lambda q, t, i: synthetic.render_scan(
+            synthetic.se3.Pose(q=q, t=t), world, cfg.lidar, args.azimuth, noise=0.008, seed=0
+        )
+    )
+
+    pipe = ESPipeline(cfg=cfg)
+    cap = cfg.capacity.scan_points
+
+    def padded(xyz, valid):
+        n = xyz.shape[0]
+        if n >= cap:
+            return xyz[:cap], valid[:cap]
+        return (
+            jnp.pad(xyz, ((0, cap - n), (0, 0))),
+            jnp.pad(valid, (0, cap - n)),
+        )
+
+    frame_ms = []
+    t_wall0 = time.perf_counter()
+    for i in range(args.frames):
+        xyz, valid = render(poses.q[i], poses.t[i], i)
+        xyz, valid = padded(xyz, valid)
+        jax.block_until_ready(xyz)
+        t0 = time.perf_counter()
+        pipe.process_frame(xyz, valid)
+        frame_ms.append((time.perf_counter() - t0) * 1e3)
+
+    total_s = time.perf_counter() - t_wall0
+    steady = np.array(frame_ms[args.warmup :])
+    fps = 1000.0 / float(np.mean(steady))
+
+    # Drift vs ground truth (relative to first frame).
+    q, t = pipe.trajectory
+    gt = metrics.poses_to_matrices(np.asarray(poses.q), np.asarray(poses.t))
+    gt = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
+    est = metrics.poses_to_matrices(q, t)
+    drift = metrics.kitti_drift(gt, est, lengths=(50.0, 100.0), step=5)
+    ate = metrics.ate_rmse(gt, est)
+
+    result = {
+        "metric": "frames_per_sec_es64",
+        "value": round(fps, 3),
+        "unit": "fps",
+        "vs_baseline": round(fps / 10.0, 3),
+        "mean_ms_per_frame": round(float(np.mean(steady)), 3),
+        "p50_ms": round(float(np.percentile(steady, 50)), 3),
+        "p95_ms": round(float(np.percentile(steady, 95)), 3),
+        "drift_t_pct": round(drift["t_err_pct"], 4),
+        "drift_r_deg_per_m": round(drift["r_err_deg_per_m"], 6),
+        "ate_rmse_m": round(ate, 4),
+        "frames": args.frames,
+        "surf_map_size": pipe.records[-1].surf_map_size,
+        "edge_map_size": pipe.records[-1].edge_map_size,
+        "total_wall_s": round(total_s, 2),
+        "device": str(jax.devices()[0]),
+    }
+    print(json.dumps(result))
+
+
+if __name__ == "__main__":
+    main()

@@ -97,6 +97,14 @@ class CapacityConfig:
     knn_cell_size: float = 1.0
     knn_candidates_per_cell: int = 16
     knn_k: int = 5
+    # kNN implementation: "tiled" = Pallas tiled brute-force kernel (fast on
+    # TPU, see ops/knn_tiled.py); "grid" = XLA searchsorted voxel grid.
+    knn_impl: str = "tiled"
+    knn_tiles: int = 64  # NT x NT tile window
+    tile_cells: int = 4  # tile edge in 1 m cells (4 m tiles)
+    edge_tile_cap: int = 256  # max edge-map points per tile
+    surf_tile_cap: int = 512  # max surf-map points per tile
+    tile_query_cap: int = 64  # query subtile rows per kernel step
 
 
 @dataclass(frozen=True)

@@ -59,10 +59,9 @@ class FrameDiag(NamedTuple):
 
 def init_state(cfg: PipelineConfig) -> ESState:
     cap = cfg.capacity
-    cell = cap.knn_cell_size
     return ESState(
-        edge_map=map_state.empty_map(cap.edge_map_points, cell),
-        surf_map=map_state.empty_map(cap.surf_map_points, cell),
+        edge_map=map_state.empty_index(cfg, "edge"),
+        surf_map=map_state.empty_index(cfg, "surf"),
         pose=se3.identity_pose(),
         last_pose=se3.identity_pose(),
         opt_count=jnp.asarray(cfg.odometry.max_outer_iters, jnp.int32),
@@ -80,19 +79,14 @@ def first_frame(state: ESState, feat, cfg: PipelineConfig) -> ESState:
     """Seed the maps with the raw first-scan features
     (ref ``initMapWithPoints``, src/odomEstimationClass.cpp:217-222)."""
     cap = cfg.capacity
-    cell = cap.knn_cell_size
     e_xyz, e_valid = _compact(feat.xyz, feat.edge_mask, cap.edge_map_points)
     s_xyz, s_valid = _compact(feat.xyz, feat.surf_mask, cap.surf_map_points)
     zeros_e = jnp.zeros((cap.edge_map_points, 2), jnp.float32)
     zeros_s = jnp.zeros((cap.surf_map_points, 2), jnp.float32)
     origin_t = state.pose.t
     return state._replace(
-        edge_map=knn.build_grid(
-            e_xyz, zeros_e, e_valid, knn.grid_origin_for_pose(origin_t, cell), cell
-        ),
-        surf_map=knn.build_grid(
-            s_xyz, zeros_s, s_valid, knn.grid_origin_for_pose(origin_t, cell), cell
-        ),
+        edge_map=map_state.build_index(e_xyz, zeros_e, e_valid, origin_t, cfg, "edge"),
+        surf_map=map_state.build_index(s_xyz, zeros_s, s_valid, origin_t, cfg, "surf"),
         opt_count=jnp.asarray(cfg.odometry.max_outer_iters, jnp.int32),
     )
 
@@ -111,7 +105,7 @@ class _Assoc(NamedTuple):
 
 def _associate(
     kind: str,
-    grid: knn.HashGrid,
+    grid,  # HashGrid | TiledMap (see models.map_state.build_index)
     map_rg: jnp.ndarray,
     pose_local: se3.Pose,
     center: jnp.ndarray,
@@ -127,12 +121,12 @@ def _associate(
     c = cfg.capacity
     k = c.knn_k
 
-    # Query in world coords; knn grid stores world points.
+    # Query in world coords; the index stores world points.
     q_world = se3.transform_points(pose_local, scan_xyz) + center
-    res = knn.knn_query(grid, q_world, scan_valid, k, c.knn_candidates_per_cell)
-    gate = res.sqdist[:, k - 1] < o.nn_gate_sq
+    nn_idx, nn_sq = map_state.query_index(grid, q_world, scan_valid, cfg, kind)
+    gate = nn_sq[:, k - 1] < o.nn_gate_sq
 
-    neigh = grid.xyz[res.idx] - center  # [M,5,3] local frame for fp32 fits
+    neigh = grid.xyz[nn_idx] - center  # [M,5,3] local frame for fp32 fits
     if kind == "edge":
         pa, pb, fit_ok = gn.fit_lines(neigh, o.line_eig_ratio, o.line_half_length)
         geom_a, geom_b = pa, pb
@@ -144,14 +138,14 @@ def _associate(
     matched = scan_valid & gate & fit_ok
 
     # Persistence read (ref: :332-344): observe = mean(g)+1, round = mean(r).
-    g5 = map_rg[res.idx, 1]
-    r5 = map_rg[res.idx, 0]
+    g5 = map_rg[nn_idx, 1]
+    r5 = map_rg[nn_idx, 0]
     observe = jnp.mean(g5, axis=1) + 1.0
     round_ = jnp.mean(r5, axis=1)
     # g increment for all matched correspondences (ref: :345-346) — happens
     # *before* the persistence gate.
     inc = jnp.zeros(grid.rg.shape[0], jnp.float32)
-    inc = inc.at[res.idx.reshape(-1)].add(
+    inc = inc.at[nn_idx.reshape(-1)].add(
         jnp.repeat(matched.astype(jnp.float32), k), mode="drop"
     )
     # Saturation: observe/round > 5 -> observe = 255 (ref: :348-349; round == 0
@@ -219,14 +213,17 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
 
     # Downsample feature clouds (ref: :242-245; edge at map_resolution, surf
     # at 2x — the same leaf sizes as the map rgbds).
-    e_xyz, e_valid = _compact(feat.xyz, feat.edge_mask, cap.surf_points)
+    e_xyz, e_valid = _compact(feat.xyz, feat.edge_mask, cap.edge_points)
     s_xyz, s_valid = _compact(feat.xyz, feat.surf_mask, cap.surf_points)
-    zeros = jnp.zeros((cap.surf_points, 2), jnp.float32)
     ds_edge = voxel.voxel_downsample_rgbds(
-        voxel.PointSet(e_xyz, zeros, e_valid), o.map_resolution, cap.ds_edge_points
+        voxel.PointSet(e_xyz, jnp.zeros((cap.edge_points, 2), jnp.float32), e_valid),
+        o.map_resolution,
+        cap.ds_edge_points,
     )
     ds_surf = voxel.voxel_downsample_rgbds(
-        voxel.PointSet(s_xyz, zeros, s_valid), o.map_resolution * 2.0, cap.ds_surf_points
+        voxel.PointSet(s_xyz, jnp.zeros((cap.surf_points, 2), jnp.float32), s_valid),
+        o.map_resolution * 2.0,
+        cap.ds_surf_points,
     )
 
     center = pred.t  # fp32 re-centering origin
@@ -310,27 +307,25 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
     # Map merge (ref addPointsToMap, :589-647) in world coords.
     edge_world = se3.transform_points(pose, ds_edge.xyz)
     surf_world = se3.transform_points(pose, ds_surf.xyz)
-    new_edge = map_state.merge_scan_into_map(
+    new_edge = map_state.merge_scan_into_index(
         edge_grid._replace(rg=e_rg),
         edge_world,
         se_rg,
         ds_edge.valid,
         pose.t,
         o.map_resolution,
-        o,
-        cap.edge_map_points,
-        cap.knn_cell_size,
+        cfg,
+        "edge",
     )
-    new_surf = map_state.merge_scan_into_map(
+    new_surf = map_state.merge_scan_into_index(
         surf_grid._replace(rg=s_rg),
         surf_world,
         ss_rg,
         ds_surf.valid,
         pose.t,
         o.map_resolution * 2.0,
-        o,
-        cap.surf_map_points,
-        cap.knn_cell_size,
+        cfg,
+        "surf",
     )
 
     new_state = ESState(

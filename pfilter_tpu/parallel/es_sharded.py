@@ -364,8 +364,19 @@ def _es_step_block(state, feat, cfg: PipelineConfig, n_map: int):
 # ---------------------------------------------------------------------------
 
 
+def _force_grid_impl(cfg: PipelineConfig) -> PipelineConfig:
+    """The sharded path uses the XLA voxel-grid index (shard-local searchsorted);
+    the Pallas tiled kernel is single-chip for now."""
+    import dataclasses
+
+    if cfg.capacity.knn_impl == "grid":
+        return cfg
+    return cfg.replace(capacity=dataclasses.replace(cfg.capacity, knn_impl="grid"))
+
+
 def init_sharded_state(cfg: PipelineConfig, n_seq: int) -> es_odometry.ESState:
     """Batched empty state (leading seq dim).  Shard with state_specs()."""
+    cfg = _force_grid_impl(cfg)
     states = [es_odometry.init_state(cfg) for _ in range(n_seq)]
     return stack_states(states)
 
@@ -376,6 +387,7 @@ def make_sharded_step(cfg: PipelineConfig, mesh, first: bool = False):
     Inputs: state (seq-stacked ESState), scan xyz [n_seq, N, 3], mask
     [n_seq, N].  Feature extraction runs replicated inside each map group.
     """
+    cfg = _force_grid_impl(cfg)
     n_map = mesh.shape[MAP_AXIS]
 
     def block_fn(state_b, xyz_b, mask_b):
