@@ -127,7 +127,7 @@ def _associate(
     gate = nn_sq[:, k - 1] < o.nn_gate_sq
 
     neigh = grid.xyz[nn_idx] - center  # [M,5,3] local frame for fp32 fits
-    if kind == "edge":
+    if map_state.is_line_kind(kind):
         pa, pb, fit_ok = gn.fit_lines(neigh, o.line_eig_ratio, o.line_half_length)
         geom_a, geom_b = pa, pb
     else:

@@ -23,9 +23,24 @@ from pfilter_tpu.ops import knn, knn_tiled, voxel
 # ---------------------------------------------------------------------------
 
 
+# Feature channels: ES mode has edge/surf; BPF mode has beam/pillar (line
+# geometry, edge-like caps) and facade (plane geometry, surf-like caps) —
+# ref: include/odomEstimationClass.h:169-205.
+LINE_KINDS = ("edge", "beam", "pillar")
+PLANE_KINDS = ("surf", "facade")
+
+
+def is_line_kind(kind: str) -> bool:
+    if kind in LINE_KINDS:
+        return True
+    if kind in PLANE_KINDS:
+        return False
+    raise ValueError(f"unknown feature kind {kind}")
+
+
 def _tile_params(cfg: PipelineConfig, kind: str):
     cap = cfg.capacity
-    tile_cap = cap.edge_tile_cap if kind == "edge" else cap.surf_tile_cap
+    tile_cap = cap.edge_tile_cap if is_line_kind(kind) else cap.surf_tile_cap
     return cap.knn_tiles, cap.tile_cells, tile_cap
 
 
@@ -67,10 +82,12 @@ def query_index(index, q_xyz, q_valid, cfg: PipelineConfig, kind: str):
     return res.idx, res.sqdist
 
 
+def map_capacity(cfg: PipelineConfig, kind: str) -> int:
+    return cfg.capacity.edge_map_points if is_line_kind(kind) else cfg.capacity.surf_map_points
+
+
 def empty_index(cfg: PipelineConfig, kind: str):
-    capacity = (
-        cfg.capacity.edge_map_points if kind == "edge" else cfg.capacity.surf_map_points
-    )
+    capacity = map_capacity(cfg, kind)
     zeros = jnp.zeros((capacity, 3), jnp.float32)
     zrg = jnp.zeros((capacity, 2), jnp.float32)
     invalid = jnp.zeros(capacity, bool)
@@ -123,9 +140,7 @@ def merge_scan_into_index(
     src/odomEstimationClass.cpp:589-647): append the pose-transformed scan,
     crop +-100 m, rgbds re-voxelize (centroid + max r/g), evict, age, re-sort."""
     o = cfg.odometry
-    capacity = (
-        cfg.capacity.edge_map_points if kind == "edge" else cfg.capacity.surf_map_points
-    )
+    capacity = map_capacity(cfg, kind)
     combined = voxel.concat_pointsets(
         voxel.PointSet(xyz=index.xyz, rg=index.rg, valid=index.valid),
         voxel.PointSet(xyz=scan_xyz_world, rg=scan_rg, valid=scan_valid),

@@ -1,25 +1,35 @@
 """Tiled brute-force kNN — the Pallas TPU kernel replacing KdTreeFLANN.
 
 Why: the reference's per-query KD-tree lookups (ref: src/odomEstimationClass.cpp:299,447)
-map to fine-grained random gathers on TPU, which XLA lowers element-at-a-time
-(~500 ms per association pass at KITTI scale — measured).  This kernel turns
-kNN into streaming DMA + dense MXU/VPU compute:
+map to fine-grained random gathers/scatters on TPU, which XLA lowers
+element-at-a-time (~500 ms per association pass at KITTI scale — measured).
+This kernel turns kNN into streaming DMA + dense MXU/VPU compute:
 
 - the map is sorted by 2D spatial tile (tile = ``tile_cells`` x 1 m cells,
-  row-major over an ``NT x NT`` window anchored at the pose, z unbounded),
-- queries are sorted by the same tile id and laid out in 128-aligned per-tile
-  slots (TPU DMA offsets along the lane dimension must be 128-aligned),
-- one Pallas grid step per query tile: DMA the 3x3-tile halo (three
-  *contiguous* slot ranges, one per tile row, 128-aligned over-read) into
-  VMEM, compute all query-candidate squared distances with one MXU matmul,
-  and extract the top-5 with masked argmin passes — the distance matrix never
-  touches HBM.
+  row-major over an ``NT x NT`` window anchored near the pose, z unbounded),
+- queries are sorted by the same tile id *once per frame* (pose refinement
+  during GN moves points far less than the halo margin) and stay compact —
+  each kernel step reads a 128-aligned over-window of the sorted query array
+  (neighboring tiles' rows compute garbage that is simply never read back),
+- one grid step per query tile: DMA the 3x3-tile halo (three *contiguous*
+  slot ranges, 128-aligned over-read) into VMEM, compute all query-candidate
+  true squared distances with one MXU matmul (augmented coordinates:
+  ``dist = [q,|q|^2,1] . [-2c,1,|c|^2]``), and extract the top-5 with five
+  exact min + lane-argmin + mask passes — the distance matrix never touches
+  HBM.  Both queries and candidates are recentered to the *tile center*
+  inside the kernel and the matmul runs at ``Precision.HIGHEST``: the
+  augmented form subtracts |q|^2-like terms that grow with the square of the
+  world coordinates, so without recentering the MXU's bf16 passes (and even
+  f32 rounding far from the origin) destroy the cancellation and return
+  garbage neighbors — caught by a compiled-vs-bruteforce check on real TPU,
+- results land in per-tile *exclusive* 128-aligned output regions; the caller
+  reads its queries back with one small gather (gathers are cheap on TPU,
+  scatters are not — measured 135 ms vs 2.7 ms at 32k rows).
 
-The kernel returns, per query, the 5 nearest candidate *slot ids* (into the
-tile-sorted map arrays) and order-preserving distances (true squared distance
-minus |q|^2, a per-row constant; the caller adds it back).  Exactness: the
-3x3 halo of >= 4 m tiles covers the 1 m correspondence-gate ball with >= 3 m
-of margin; results match exact kNN unless a tile overflows its capacity
+Exactness: the 3x3 halo of >= 4 m tiles covers the 1 m correspondence-gate
+ball (ref gate: 5th-NN sq-dist < 1.0, src/odomEstimationClass.cpp:300) with
+>= 3 m margin; distances and neighbor selection are exact (fp reduction
+order aside).  Results match exact kNN unless a tile overflows its capacity
 (capacities are sized so this does not happen at PFilter map densities).
 """
 
@@ -34,8 +44,12 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 _BIG = 1.0e30  # plain float: jnp scalars become captured consts in Pallas kernels
+_FAR = 1.0e4  # invalid-slot coordinate: far beyond any gate, square-safe in f32
 _ALIGN = 128  # TPU lane alignment for dynamic DMA offsets
-_TQC = 128  # query rows per kernel subtile (= alignment, so offsets stay aligned)
+_TQC = 128  # query rows per kernel subtile
+_IDX_BITS = 13  # lane index bits packed into the distance key
+_IDX_MASK = (1 << _IDX_BITS) - 1
+_INT_MAX = 2**31 - 1
 
 
 class TiledMap(NamedTuple):
@@ -45,9 +59,22 @@ class TiledMap(NamedTuple):
     xyz: jnp.ndarray  # [CAP, 3] float32, tile-sorted
     rg: jnp.ndarray  # [CAP, 2] float32 persistence counters
     valid: jnp.ndarray  # [CAP] bool
-    xyz_t: jnp.ndarray  # [4, CAP + pad] float32 transposed (row 3 = zeros)
+    xyz_t: jnp.ndarray  # [4, CAP + pad] float32 transposed
     tile_start: jnp.ndarray  # [NT*NT + 1] int32 slot ranges
     origin: jnp.ndarray  # [3] float32 — window anchor (world coords)
+
+
+class QuerySort(NamedTuple):
+    """Frame-level tile sort of a query cloud (built once, used per GN pass)."""
+
+    order: jnp.ndarray  # [Q] int32 — sorted position <- original position
+    inv: jnp.ndarray  # [Q] int32 — original position <- sorted position
+    bounds: jnp.ndarray  # [NT2+1] int32 per-tile ranges in sorted order
+
+
+class TiledKnnResult(NamedTuple):
+    idx: jnp.ndarray  # [Q, K] int32 slot ids into the tiled map arrays
+    sqdist: jnp.ndarray  # [Q, K] float32 true squared distances (inf-padded)
 
 
 def tile_origin_for_pose(pose_t: jnp.ndarray, nt: int, tile_cells: int) -> jnp.ndarray:
@@ -75,7 +102,7 @@ def build_tiled(
     tile_cap: int,
 ) -> TiledMap:
     """Sort points tile-major and compute per-tile ranges (one sort per map
-    per frame — the tiled twin of knn.build_grid)."""
+    per frame — the tiled twin of the reference's KD-tree rebuild)."""
     if tile_cap % _ALIGN != 0:
         raise ValueError(f"tile_cap must be a multiple of {_ALIGN}, got {tile_cap}")
     tid = _tile_ids(xyz, valid, origin, nt, tile_cells)
@@ -89,30 +116,78 @@ def build_tiled(
     )
     pad = 3 * tile_cap + _ALIGN
     cap = xyz.shape[0]
-    xyz_t = jnp.full((4, cap + pad), _BIG, jnp.float32)
-    # Invalid slots (sorted last) must never look near: leave them at BIG.
-    xyz_t = xyz_t.at[:3, :cap].set(jnp.where(sv[None, :], sx.T, _BIG))
+    xyz_t = jnp.full((4, cap + pad), _FAR, jnp.float32)
+    # Invalid slots (sorted last) must never look near: leave them at FAR.
+    xyz_t = xyz_t.at[:3, :cap].set(jnp.where(sv[None, :], sx.T, _FAR))
     xyz_t = xyz_t.at[3, :].set(0.0)
     return TiledMap(xyz=sx, rg=srg, valid=sv, xyz_t=xyz_t, tile_start=tile_start, origin=origin)
 
 
+def sort_queries(
+    q_xyz: jnp.ndarray, q_valid: jnp.ndarray, origin: jnp.ndarray, nt: int, tile_cells: int
+) -> QuerySort:
+    """Frame-level tile sort (invalid queries land in tile NT^2, never
+    processed).  Callers should reorder their per-point arrays by ``order``
+    and keep all downstream math in sorted order."""
+    q = q_xyz.shape[0]
+    tid = _tile_ids(q_xyz, q_valid, origin, nt, tile_cells)
+    order = jnp.argsort(tid)
+    stid = tid[order]
+    bounds = jnp.searchsorted(stid, jnp.arange(nt * nt + 1, dtype=jnp.int32)).astype(jnp.int32)
+    inv = jnp.zeros(q, jnp.int32).at[order].set(jnp.arange(q, dtype=jnp.int32))
+    return QuerySort(order=order, inv=inv, bounds=bounds)
+
+
+def _tile_centers(origin: jnp.ndarray, nt: int, tile_cells: int) -> jnp.ndarray:
+    """[NT2*3] f32 — per-tile recentering points: tile center in xy, window
+    center in z (z is unbounded within a tile; the window anchors near the
+    pose, so window-center z keeps |z - cz| small for LiDAR-scale maps)."""
+    ts = float(tile_cells)
+    tids = jnp.arange(nt * nt, dtype=jnp.int32)
+    tx, ty = tids // nt, tids % nt
+    cx = origin[0] + (tx.astype(jnp.float32) + 0.5) * ts
+    cy = origin[1] + (ty.astype(jnp.float32) + 0.5) * ts
+    cz = jnp.full_like(cx, origin[2] + nt * ts / 2.0)
+    return jnp.stack([cx, cy, cz], -1).reshape(-1).astype(jnp.float32)
+
+
+def _halo_ranges(tmap: TiledMap, nt: int, w: int):
+    """Per query tile: 3 contiguous candidate ranges (one per tile row)."""
+    nt2 = nt * nt
+    tids = jnp.arange(nt2, dtype=jnp.int32)
+    tx, ty = tids // nt, tids % nt
+    c_starts, c_cnts = [], []
+    for dr in (-1, 0, 1):
+        row = jnp.clip(tx + dr, 0, nt - 1)
+        lo = row * nt + jnp.clip(ty - 1, 0, nt - 1)
+        hi = row * nt + jnp.clip(ty + 1, 0, nt - 1) + 1
+        start = tmap.tile_start[lo]
+        cnt = jnp.minimum(tmap.tile_start[hi] - start, w)
+        c_starts.append(start)
+        c_cnts.append(cnt)
+    c_start = jnp.stack(c_starts, -1).astype(jnp.int32).reshape(-1)  # [NT2*3]
+    c_cnt = jnp.stack(c_cnts, -1).astype(jnp.int32).reshape(-1)
+    return c_start, c_cnt
+
+
 def _knn_kernel(
     # scalar prefetch
-    q_start_ref,  # [NT2] i32 — 128-aligned padded query slot starts
-    q_cnt_ref,  # [NT2] i32
-    c_start_ref,  # [NT2, 3] i32 — true (unaligned) halo range starts
-    c_cnt_ref,  # [NT2, 3] i32
+    q_lo_ref,  # [NT2] i32 — tile's first sorted-query row
+    q_hi_ref,  # [NT2] i32 — one past the tile's last row
+    o_start_ref,  # [NT2] i32 — tile's exclusive output base (128-aligned)
+    c_start_ref,  # [NT2*3] i32 — halo range starts (unaligned)
+    c_cnt_ref,  # [NT2*3] i32
+    ctr_ref,  # [NT2*3] f32 — per-tile recentering point (world coords)
     # tensors (HBM)
-    qxyz_ref,  # [4, QPAD] f32
+    qxyz_ref,  # [4, QC] f32 — raw sorted query coords [x, y, z, 0]
     mxyz_ref,  # [4, MCAP+pad] f32
-    out_d_ref,  # [8, QPAD] f32
-    out_i_ref,  # [8, QPAD] i32
+    out_ref,  # [16, OPAD] f32 — rows 0-4 dist, 5-9 idx (bitcast), 10-15 pad
     # scratch
-    qbuf,  # VMEM [4, TQC]
+    qbuf,  # VMEM [8, TQC]
     cbuf,  # VMEM [4, 3*WB]
-    dbuf,  # VMEM [TQC, 3*WB] f32
-    bestd,  # VMEM [8, TQC] f32
-    besti,  # VMEM [8, TQC] i32
+    caug,  # VMEM [8, 3*WB]
+    dbuf,  # VMEM [TQC, 3*WB] f32 masked distance matrix
+    best,  # VMEM [16, TQC] f32
     sem_q,
     sem_c,
     sem_o,
@@ -121,15 +196,15 @@ def _knn_kernel(
     k: int,
 ):
     t = pl.program_id(0)
-    qcnt = q_cnt_ref[t]
+    q_lo = q_lo_ref[t]
+    q_hi = q_hi_ref[t]
     tqc = _TQC
-    wb = w + _ALIGN  # per-range buffer width (aligned over-read)
+    wb = w + _ALIGN
 
-    @pl.when(qcnt > 0)
+    @pl.when(q_hi > q_lo)
     def _process():
-        # DMA the 3 halo ranges; starts rounded down to the 128 lane boundary.
         def aligned_start(r):
-            s = c_start_ref[t, r]
+            s = c_start_ref[3 * t + r]
             return pl.multiple_of((s // _ALIGN) * _ALIGN, _ALIGN)
 
         for r in range(3):
@@ -145,66 +220,172 @@ def _knn_kernel(
                 sem_c.at[r],
             ).wait()
 
-        cand = cbuf[:, :]
-        cc = jnp.sum(cand[:3] * cand[:3], axis=0, keepdims=True)  # [1, 3WB]
-        # Candidate validity + global slot ids per halo range.
+        # Recenter to the tile center: the augmented-matmul cancellation is
+        # exact only while |coords|^2 stays small; world coords are not.
+        cx, cy, cz = ctr_ref[3 * t], ctr_ref[3 * t + 1], ctr_ref[3 * t + 2]
+        xs = cbuf[0:1, :] - cx
+        ys = cbuf[1:2, :] - cy
+        zs = cbuf[2:3, :] - cz
+        cc = xs * xs + ys * ys + zs * zs  # [1, 3WB]
+        # Augmented candidates: [-2x, -2y, -2z, 1, |c|^2, 0, 0, 0].
+        caug[0:1, :] = -2.0 * xs
+        caug[1:2, :] = -2.0 * ys
+        caug[2:3, :] = -2.0 * zs
+        caug[3:4, :] = jnp.ones_like(cc)
+        caug[4:5, :] = cc
+        caug[5:8, :] = jnp.zeros((3, 3 * wb), jnp.float32)
+
+        # Column validity + base ids per halo range (aligned over-read).
         lane = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * wb), 1)
         off = lane % wb
         rsec = lane // wb
-        cnt0, cnt1, cnt2 = c_cnt_ref[t, 0], c_cnt_ref[t, 1], c_cnt_ref[t, 2]
-        s0, s1, s2 = c_start_ref[t, 0], c_start_ref[t, 1], c_start_ref[t, 2]
+        cnt0, cnt1, cnt2 = c_cnt_ref[3 * t], c_cnt_ref[3 * t + 1], c_cnt_ref[3 * t + 2]
+        s0, s1, s2 = c_start_ref[3 * t], c_start_ref[3 * t + 1], c_start_ref[3 * t + 2]
         sec_cnt = jnp.where(rsec == 0, cnt0, jnp.where(rsec == 1, cnt1, cnt2))
         sec_start = jnp.where(rsec == 0, s0, jnp.where(rsec == 1, s1, s2))
-        sec_delta = sec_start % _ALIGN  # true range begins here inside the buffer
+        sec_delta = sec_start % _ALIGN
         col_ok = (off >= sec_delta) & (off < sec_delta + sec_cnt)  # [1, 3WB]
-        col_gid = (sec_start - sec_delta) + off  # aligned base + buffer offset
 
-        n_sub = pl.cdiv(qcnt, tqc)
+        aq = pl.multiple_of((q_lo // _ALIGN) * _ALIGN, _ALIGN)
+        n_sub = pl.cdiv(q_hi - aq, tqc)
+        o_base = pl.multiple_of(o_start_ref[t], _ALIGN)
 
         def sub_body(s, _):
-            qoff = pl.multiple_of(q_start_ref[t] + s * tqc, _ALIGN)
-            cq = pltpu.make_async_copy(qxyz_ref.at[:, pl.ds(qoff, tqc)], qbuf, sem_q)
+            qoff = pl.multiple_of(aq + s * tqc, _ALIGN)
+            cq = pltpu.make_async_copy(qxyz_ref.at[:, pl.ds(qoff, tqc)], qbuf.at[0:4], sem_q)
             cq.start()
             cq.wait()
+            qx = qbuf[0:1, :] - cx
+            qy = qbuf[1:2, :] - cy
+            qz = qbuf[2:3, :] - cz
+            qq = qx * qx + qy * qy + qz * qz
+            qbuf[0:1, :] = qx
+            qbuf[1:2, :] = qy
+            qbuf[2:3, :] = qz
+            qbuf[3:4, :] = qq
+            qbuf[4:5, :] = jnp.ones_like(qq)
+            qbuf[5:8, :] = jnp.zeros((3, tqc), jnp.float32)
 
-            qc = jax.lax.dot_general(
+            dist = jax.lax.dot_general(
                 qbuf[:, :],
-                cand,
+                caug[:, :],
                 dimension_numbers=(((0,), (0,)), ((), ())),
                 preferred_element_type=jnp.float32,
-            )  # [TQC, 3WB]
-            # |q|^2 is constant per query row: dropped here (order-
-            # preserving); the caller adds it back.  Mask AFTER the -2qc term
-            # so out-of-range columns (DMA overread, sentinels) cannot win.
-            dbuf[:, :] = jnp.where(col_ok, cc - 2.0 * qc, _BIG)
+                precision=jax.lax.Precision.HIGHEST,
+            )  # [TQC, 3WB] true squared distances
+            lanes = jax.lax.broadcasted_iota(jnp.int32, (tqc, 3 * wb), 1)
+            dbuf[:, :] = jnp.where(col_ok, jnp.maximum(dist, 0.0), _BIG)
 
             for j in range(k):
-                m = jnp.min(dbuf[:, :], axis=1)  # [TQC]
-                am = jnp.argmin(dbuf[:, :], axis=1)  # [TQC]
-                sel = jax.lax.broadcasted_iota(jnp.int32, (tqc, 3 * wb), 1) == am[:, None]
-                gi = jnp.max(jnp.where(sel, col_gid, -1), axis=1)
-                bestd[j, :] = m
-                besti[j, :] = gi
-                dbuf[:, :] = jnp.where(sel, _BIG, dbuf[:, :])
+                m = jnp.min(dbuf[:, :], axis=1)  # [TQC] exact distances
+                # argmin with min-lane tiebreak (handles duplicate distances)
+                sel = jnp.where(dbuf[:, :] <= m[:, None], lanes, _INT_MAX)
+                lane_j = jnp.min(sel, axis=1)  # [TQC]
+                dbuf[:, :] = jnp.where(lanes == lane_j[:, None], _BIG, dbuf[:, :])
+                l2 = lane_j[None, :]  # [1, TQC] — Mosaic bitcast needs >= 2D
+                r_j = l2 // wb
+                off_j = l2 % wb
+                base_j = jnp.where(
+                    r_j == 0,
+                    (s0 // _ALIGN) * _ALIGN,
+                    jnp.where(r_j == 1, (s1 // _ALIGN) * _ALIGN, (s2 // _ALIGN) * _ALIGN),
+                )
+                gid = base_j + off_j
+                best[j, :] = m
+                best[k + j, :] = pltpu.bitcast(gid, jnp.float32)[0]
 
-            for j in range(k, 8):
-                bestd[j, :] = jnp.full((tqc,), _BIG, jnp.float32)
-                besti[j, :] = jnp.zeros((tqc,), jnp.int32)
+            for j in range(2 * k, 16):
+                best[j, :] = jnp.zeros((tqc,), jnp.float32)
 
-            co = pltpu.make_async_copy(bestd, out_d_ref.at[:, pl.ds(qoff, tqc)], sem_o)
+            co = pltpu.make_async_copy(
+                best, out_ref.at[:, pl.ds(o_base + s * tqc, tqc)], sem_o
+            )
             co.start()
             co.wait()
-            co2 = pltpu.make_async_copy(besti, out_i_ref.at[:, pl.ds(qoff, tqc)], sem_o)
-            co2.start()
-            co2.wait()
             return 0
 
         jax.lax.fori_loop(0, n_sub, sub_body, 0)
 
 
-class TiledKnnResult(NamedTuple):
-    idx: jnp.ndarray  # [Q, K] int32 slot ids into the tiled map arrays
-    sqdist: jnp.ndarray  # [Q, K] float32 true squared distances (inf-padded)
+@functools.partial(
+    jax.jit, static_argnames=("nt", "tile_cells", "tile_cap", "k", "interpret")
+)
+def query_tiled_sorted(
+    tmap: TiledMap,
+    sq_world: jnp.ndarray,  # [Q, 3] queries in SORTED (tile) order, world coords
+    bounds: jnp.ndarray,  # [NT2+1] from sort_queries
+    nt: int,
+    tile_cells: int,
+    tile_cap: int,
+    k: int = 5,
+    interpret: bool = False,
+) -> TiledKnnResult:
+    """5-NN for tile-sorted queries; results returned in the same sorted order."""
+    q = sq_world.shape[0]
+    nt2 = nt * nt
+    w = 3 * tile_cap
+
+    # Raw compact query tensor [4, Q+2*ALIGN] — augmentation happens in-kernel
+    # after per-tile recentering.
+    qc = q + 2 * _ALIGN
+    qxyz = jnp.pad(
+        jnp.concatenate([sq_world.T, jnp.zeros((1, q), jnp.float32)], axis=0),
+        ((0, 0), (0, qc - q)),
+    )
+
+    q_lo = bounds[:-1]
+    q_hi = bounds[1:]
+    aq = (q_lo // _ALIGN) * _ALIGN
+    n_sub = jnp.where(q_hi > q_lo, (q_hi - aq + _TQC - 1) // _TQC, 0)
+    o_start = _TQC * jnp.concatenate(
+        [jnp.zeros(1, jnp.int32), jnp.cumsum(n_sub)[:-1].astype(jnp.int32)]
+    )
+    opad = q + 2 * _TQC * nt2 + _TQC  # static bound on total output rows
+
+    c_start, c_cnt = _halo_ranges(tmap, nt, w)
+    ctr = _tile_centers(tmap.origin, nt, tile_cells)
+
+    grid_spec = pltpu.PrefetchScalarGridSpec(
+        num_scalar_prefetch=6,
+        grid=(nt2,),
+        in_specs=[
+            pl.BlockSpec(memory_space=pl.ANY),
+            pl.BlockSpec(memory_space=pl.ANY),
+        ],
+        out_specs=[pl.BlockSpec(memory_space=pl.ANY)],
+        scratch_shapes=[
+            pltpu.VMEM((8, _TQC), jnp.float32),
+            pltpu.VMEM((4, 3 * (w + _ALIGN)), jnp.float32),
+            pltpu.VMEM((8, 3 * (w + _ALIGN)), jnp.float32),
+            pltpu.VMEM((_TQC, 3 * (w + _ALIGN)), jnp.float32),
+            pltpu.VMEM((16, _TQC), jnp.float32),
+            pltpu.SemaphoreType.DMA,
+            pltpu.SemaphoreType.DMA((3,)),
+            pltpu.SemaphoreType.DMA,
+        ],
+    )
+    kernel = functools.partial(_knn_kernel, w=w, k=k)
+    (out,) = pl.pallas_call(
+        kernel,
+        grid_spec=grid_spec,
+        out_shape=(jax.ShapeDtypeStruct((16, opad), jnp.float32),),
+        compiler_params=pltpu.CompilerParams(has_side_effects=True),
+        interpret=interpret,
+    )(q_lo, q_hi, o_start, c_start, c_cnt, ctr, qxyz, tmap.xyz_t)
+
+    # Read back: sorted query p (tile tid_p) lives at o_start + (p - aq).
+    p = jnp.arange(q, dtype=jnp.int32)
+    tid_p = jnp.clip(jnp.searchsorted(bounds, p, side="right") - 1, 0, nt2 - 1)
+    opos = jnp.minimum(o_start[tid_p] + (p - aq[tid_p]), opad - 1)
+    packed = out[: 2 * k, opos].T  # [Q, 2k]
+    d = packed[:, :k]
+    idx = jax.lax.bitcast_convert_type(packed[:, k : 2 * k], jnp.int32)
+    d = jnp.where(d >= _BIG * 0.5, jnp.inf, d)
+    # Queries in the invalid tile (tid == NT2) were never processed.
+    processed = p < bounds[nt2]
+    d = jnp.where(processed[:, None], d, jnp.inf)
+    idx = jnp.clip(idx, 0, tmap.xyz.shape[0] - 1)
+    return TiledKnnResult(idx=idx, sqdist=d)
 
 
 @functools.partial(
@@ -217,100 +398,22 @@ def query_tiled(
     nt: int,
     tile_cells: int,
     tile_cap: int,
-    tqc: int = _TQC,  # kept for API compat; kernel always uses 128-row subtiles
+    tqc: int = _TQC,  # unused; kept for API compat
     k: int = 5,
     interpret: bool = False,
 ) -> TiledKnnResult:
-    """Exact 5-NN of each query against the tiled map (see module docstring)."""
+    """Convenience wrapper: sort queries, run the kernel, unsort results.
+    Pipelines that query repeatedly should use sort_queries +
+    query_tiled_sorted and keep their arrays in sorted order."""
     del tqc
-    q = q_xyz.shape[0]
-    nt2 = nt * nt
-    w = 3 * tile_cap
-    wb = w + _ALIGN
-
-    # ---- host-side (traced, cheap): sort queries by tile, build 128-aligned
-    # per-tile slots, and compute halo ranges ----
-    qtid = _tile_ids(q_xyz, q_valid, tmap.origin, nt, tile_cells)
-    order = jnp.argsort(qtid)
-    sq_xyz = q_xyz[order]
-    sq_tid = qtid[order]
-    bounds = jnp.searchsorted(sq_tid, jnp.arange(nt2 + 1, dtype=jnp.int32)).astype(jnp.int32)
-    q_cnt = bounds[1:] - bounds[:-1]
-    padded_cnt = ((q_cnt + _TQC - 1) // _TQC) * _TQC
-    q_start = jnp.concatenate(
-        [jnp.zeros(1, jnp.int32), jnp.cumsum(padded_cnt)[:-1].astype(jnp.int32)]
+    qs = sort_queries(q_xyz, q_valid, tmap.origin, nt, tile_cells)
+    res = query_tiled_sorted(
+        tmap, q_xyz[qs.order], qs.bounds, nt, tile_cells, tile_cap, k=k, interpret=interpret
     )
-    qpad = q + _TQC * nt2  # worst case: every tile occupied
-    # Scatter sorted queries into their aligned slots.
-    ranks = jnp.arange(q, dtype=jnp.int32) - bounds[jnp.clip(sq_tid, 0, nt2)]
-    slot = jnp.where(sq_tid < nt2, q_start[jnp.clip(sq_tid, 0, nt2 - 1)] + ranks, qpad)
-    qxyz_t = jnp.full((4, qpad + 1), 0.0, jnp.float32)
-    qxyz_t = qxyz_t.at[:3, slot].set(sq_xyz.T, mode="drop")
-    qxyz_t = qxyz_t[:, :qpad]
-
-    # Candidate ranges per query tile: for each of 3 tile rows (tx-1..tx+1),
-    # the contiguous slots of tiles (·, ty-1..ty+1).
-    tids = jnp.arange(nt2, dtype=jnp.int32)
-    tx, ty = tids // nt, tids % nt
-    c_starts, c_cnts = [], []
-    for dr in (-1, 0, 1):
-        row = jnp.clip(tx + dr, 0, nt - 1)
-        lo = row * nt + jnp.clip(ty - 1, 0, nt - 1)
-        hi = row * nt + jnp.clip(ty + 1, 0, nt - 1) + 1
-        start = tmap.tile_start[lo]
-        cnt = jnp.minimum(tmap.tile_start[hi] - start, w)
-        c_starts.append(start)
-        c_cnts.append(cnt)
-    c_start = jnp.stack(c_starts, -1).astype(jnp.int32)  # [NT2, 3]
-    c_cnt = jnp.stack(c_cnts, -1).astype(jnp.int32)
-
-    grid_spec = pltpu.PrefetchScalarGridSpec(
-        num_scalar_prefetch=4,
-        grid=(nt2,),
-        in_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        out_specs=[
-            pl.BlockSpec(memory_space=pl.ANY),
-            pl.BlockSpec(memory_space=pl.ANY),
-        ],
-        scratch_shapes=[
-            pltpu.VMEM((4, _TQC), jnp.float32),
-            pltpu.VMEM((4, 3 * wb), jnp.float32),
-            pltpu.VMEM((_TQC, 3 * wb), jnp.float32),
-            pltpu.VMEM((8, _TQC), jnp.float32),
-            pltpu.VMEM((8, _TQC), jnp.int32),
-            pltpu.SemaphoreType.DMA,
-            pltpu.SemaphoreType.DMA((3,)),
-            pltpu.SemaphoreType.DMA,
-        ],
-    )
-    kernel = functools.partial(_knn_kernel, w=w, k=k)
-    out_d, out_i = pl.pallas_call(
-        kernel,
-        grid_spec=grid_spec,
-        out_shape=(
-            jax.ShapeDtypeStruct((8, qpad), jnp.float32),
-            jax.ShapeDtypeStruct((8, qpad), jnp.int32),
-        ),
-        compiler_params=pltpu.CompilerParams(has_side_effects=True),
-        interpret=interpret,
-    )(q_start, q_cnt, c_start, c_cnt, qxyz_t, tmap.xyz_t)
-
-    # ---- gather per-query results back (original order) + true distances ----
-    safe_slot = jnp.minimum(slot, qpad - 1)
-    d_sorted = out_d[:k, safe_slot].T  # [Qsorted, k], missing |q|^2 term
-    i_sorted = out_i[:k, safe_slot].T
-    qq = jnp.sum(sq_xyz * sq_xyz, axis=-1, keepdims=True)
-    d_true = d_sorted + qq
-    d_true = jnp.where(d_sorted >= _BIG * 0.5, jnp.inf, d_true)
-
-    inv = jnp.zeros(q, jnp.int32).at[order].set(jnp.arange(q, dtype=jnp.int32))
-    d_out = d_true[inv]
-    i_out = jnp.clip(i_sorted[inv], 0, tmap.xyz.shape[0] - 1)
-    d_out = jnp.where(q_valid[:, None], d_out, jnp.inf)
-    return TiledKnnResult(idx=i_out, sqdist=d_out)
+    d = res.sqdist[qs.inv]
+    idx = res.idx[qs.inv]
+    d = jnp.where(q_valid[:, None], d, jnp.inf)
+    return TiledKnnResult(idx=idx, sqdist=d)
 
 
 def query_tiled_reference(tmap: TiledMap, q_xyz, q_valid, k: int = 5):
