@@ -1,0 +1,85 @@
+"""BPF front-end: ground removal -> DCVC clustering -> PCA classification.
+
+TPU-native form of the ``curvedVoxel_node`` preprocessor
+(ref: src/additionNode.cpp:12-54): each stage is optional and gated exactly
+like the reference's ROS params ``groundfilter`` / ``curvedfilter`` /
+``featurePreExtract`` (launch/pfilter_kitti.launch:5-10); the output is a set
+of boolean masks over the input scan (beam/pillar/facade for BPF odometry,
+plus the surviving non-ground cloud that the ES pipeline would consume).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pfilter_tpu.config import PipelineConfig
+from pfilter_tpu.ops import dcvc, ground, knn_tiled, pca_classify, pca_radius
+
+
+class FrontendResult(NamedTuple):
+    ground_mask: jnp.ndarray
+    nonground_mask: jnp.ndarray  # after optional DCVC small-cluster removal
+    beam_mask: jnp.ndarray
+    pillar_mask: jnp.ndarray
+    facade_mask: jnp.ndarray
+
+
+def _interpret_mode() -> bool:
+    return jax.default_backend() == "cpu"
+
+
+def run_frontend(
+    xyz: jnp.ndarray,
+    valid: jnp.ndarray,
+    cfg: PipelineConfig,
+    use_ground_filter: bool = True,
+    use_curved_filter: bool = True,
+) -> FrontendResult:
+    """Masks over the raw scan (sensor frame).  Stages:
+
+    1. grid ground segmentation (ref: include/preProcess.hpp:398-505),
+    2. DCVC clustering on non-ground points; clusters < minSeg dropped
+       (ref: src/additionClass.cpp:457-497),
+    3. radius-PCA moments + beam/pillar/facade thresholds
+       (ref: include/preProcess.hpp:646-736).
+    """
+    if use_ground_filter:
+        g = ground.segment_ground(xyz, valid, cfg.ground)
+        ground_mask = g.ground_mask
+        nonground = g.nonground_mask
+    else:
+        ground_mask = jnp.zeros_like(valid)
+        nonground = valid
+
+    if use_curved_filter:
+        c = dcvc.cluster(xyz, nonground, cfg.dcvc, cfg.lidar)
+        nonground = c.keep
+
+    # Radius-PCA over the non-ground cloud against itself.
+    cap = cfg.capacity
+    nt, tc = cap.knn_tiles, cap.tile_cells
+    tile_cap = cap.surf_tile_cap
+    origin = knn_tiled.tile_origin_for_pose(jnp.zeros(3), nt, tc)
+    rg = jnp.zeros((xyz.shape[0], 2), jnp.float32)
+    tmap = knn_tiled.build_tiled(xyz, rg, nonground, origin, nt, tc, tile_cap)
+    moments = pca_radius.radius_pca_moments(
+        tmap,
+        xyz,
+        nonground,
+        nt,
+        tc,
+        tile_cap,
+        radius=cfg.pca.neighbor_radius,
+        interpret=_interpret_mode(),
+    )
+    cls = pca_classify.classify(xyz, nonground, moments, cfg.pca)
+    return FrontendResult(
+        ground_mask=ground_mask,
+        nonground_mask=nonground,
+        beam_mask=cls.beam_mask,
+        pillar_mask=cls.pillar_mask,
+        facade_mask=cls.facade_mask,
+    )

@@ -1,0 +1,208 @@
+"""BPF (beam + pillar + facade) scan-to-map odometry — TPU-native form of
+``Odom_BPF_EstimationClass`` (ref: src/odomEstimationClass.cpp:649-1306).
+
+Same skeleton as the ES pipeline (models.es_odometry) with three feature
+maps: beam and pillar features use the point-to-line cost, facades use the
+point-to-plane cost (ref: :736-738); each map gets its own persistence
+counters, rgbds re-voxelization (facade at 2x leaf, ref: :1262-1264) and
+eviction/aging.  ``merged_map`` mirrors ``mergeFeatures`` (ref: :1297-1306).
+
+The association/GN/persistence kernels are shared with the ES pipeline
+(es_odometry._associate and ops.gauss_newton) — the reference's three
+``add*CostFactor`` bodies are structural clones of the ES ones (SURVEY.md C7).
+"""
+
+from __future__ import annotations
+
+from typing import NamedTuple
+
+import jax
+import jax.numpy as jnp
+
+from pfilter_tpu.config import PipelineConfig
+from pfilter_tpu.models import map_state
+from pfilter_tpu.models.es_odometry import _associate, _compact, _weights
+from pfilter_tpu.ops import gauss_newton as gn
+from pfilter_tpu.ops import se3, voxel
+
+CHANNELS = ("beam", "pillar", "facade")
+
+
+class BPFState(NamedTuple):
+    beam_map: object  # TiledMap | HashGrid
+    pillar_map: object
+    facade_map: object
+    pose: se3.Pose
+    last_pose: se3.Pose
+    opt_count: jnp.ndarray
+
+
+class BPFDiag(NamedTuple):
+    n_corr: jnp.ndarray  # [3] per-channel correspondence counts
+    map_sizes: jnp.ndarray  # [3]
+
+
+def init_state(cfg: PipelineConfig) -> BPFState:
+    return BPFState(
+        beam_map=map_state.empty_index(cfg, "beam"),
+        pillar_map=map_state.empty_index(cfg, "pillar"),
+        facade_map=map_state.empty_index(cfg, "facade"),
+        pose=se3.identity_pose(),
+        last_pose=se3.identity_pose(),
+        opt_count=jnp.asarray(cfg.odometry.max_outer_iters, jnp.int32),
+    )
+
+
+def _leaf(cfg: PipelineConfig, kind: str) -> float:
+    # beam/pillar at map_resolution, facade at 2x (ref: :658-660, :1262-1264).
+    return cfg.odometry.map_resolution * (2.0 if kind == "facade" else 1.0)
+
+
+def first_frame(state: BPFState, xyz, masks, cfg: PipelineConfig) -> BPFState:
+    """Seed the three maps with raw classified features
+    (ref ``initMapWithPoints``, src/odomEstimationClass.cpp:689-695)."""
+    new_maps = {}
+    for kind in CHANNELS:
+        cap = map_state.map_capacity(cfg, kind)
+        cxyz, cvalid = _compact(xyz, masks[kind], cap)
+        rg = jnp.zeros((cap, 2), jnp.float32)
+        new_maps[kind] = map_state.build_index(cxyz, rg, cvalid, state.pose.t, cfg, kind)
+    return state._replace(
+        beam_map=new_maps["beam"],
+        pillar_map=new_maps["pillar"],
+        facade_map=new_maps["facade"],
+        opt_count=jnp.asarray(cfg.odometry.max_outer_iters, jnp.int32),
+    )
+
+
+def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
+    """One BPF odometry frame (ref ``updatePointsToMap``,
+    src/odomEstimationClass.cpp:702-760).  ``masks`` maps channel name ->
+    boolean mask over ``xyz``."""
+    o, cap = cfg.odometry, cfg.capacity
+
+    opt_count = jnp.maximum(o.min_outer_iters, state.opt_count - 1)
+    pred = se3.constant_velocity_predict(state.pose, state.last_pose)
+    last_pose = state.pose
+
+    grids = {"beam": state.beam_map, "pillar": state.pillar_map, "facade": state.facade_map}
+    ds = {}
+    for kind in CHANNELS:
+        line = map_state.is_line_kind(kind)
+        comp_cap = cap.edge_points if line else cap.surf_points
+        ds_cap = cap.ds_edge_points if line else cap.ds_surf_points
+        cxyz, cvalid = _compact(xyz, masks[kind], comp_cap)
+        ds[kind] = voxel.voxel_downsample_rgbds(
+            voxel.PointSet(cxyz, jnp.zeros((comp_cap, 2), jnp.float32), cvalid),
+            _leaf(cfg, kind),
+            ds_cap,
+        )
+
+    center = pred.t
+    pose0 = se3.Pose(q=pred.q, t=jnp.zeros(3, jnp.float32))
+
+    # Map-size gate (ref: :722 — beam>10 && pillar>10 && facade>50).
+    enough = (
+        (grids["beam"].valid.sum() > 10)
+        & (grids["pillar"].valid.sum() > 10)
+        & (grids["facade"].valid.sum() > 50)
+    )
+    opt_eff = jnp.where(enough, opt_count, 0)
+
+    def outer_body(carry):
+        q, t_l, rgs, scan_rgs, _, it = carry
+        pose_l = se3.Pose(q=q, t=t_l)
+
+        assocs = {}
+        new_rgs = []
+        new_scan_rgs = []
+        for i, kind in enumerate(CHANNELS):
+            a = _associate(
+                kind,
+                grids[kind],
+                rgs[i],
+                pose_l,
+                center,
+                ds[kind].xyz,
+                ds[kind].valid,
+                scan_rgs[i],
+                cfg,
+            )
+            assocs[kind] = a
+            new_rgs.append(
+                rgs[i].at[:, 1].set(jnp.minimum(o.counter_cap, rgs[i][:, 1] + a.g_increment))
+            )
+            new_scan_rgs.append(a.scan_rg)
+
+        factors = [
+            gn.Correspondences(
+                kind="edge" if map_state.is_line_kind(kind) else "surf",
+                points=ds[kind].xyz,
+                geom_a=assocs[kind].geom_a,
+                geom_b=assocs[kind].geom_b,
+                weight=_weights(assocs[kind], o.weight_type),
+                valid=assocs[kind].valid,
+            )
+            for kind in CHANNELS
+        ]
+
+        def inner(_, pose):
+            new_pose, _ = gn.gn_iteration(pose, factors, o.huber_delta, o.gn_damping)
+            return new_pose
+
+        pose_l = jax.lax.fori_loop(0, o.inner_gn_iters, inner, pose_l)
+        counts = jnp.stack([assocs[k].valid.sum() for k in CHANNELS])
+        return (pose_l.q, pose_l.t, tuple(new_rgs), tuple(new_scan_rgs), counts, it + 1)
+
+    init = (
+        pose0.q,
+        pose0.t,
+        tuple(grids[k].rg for k in CHANNELS),
+        tuple(ds[k].rg for k in CHANNELS),
+        jnp.zeros(3, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    q, t_l, rgs, scan_rgs, counts, _ = jax.lax.while_loop(
+        lambda c: c[-1] < opt_eff, outer_body, init
+    )
+    pose = se3.Pose(q=q, t=t_l + center)
+
+    new_maps = {}
+    for i, kind in enumerate(CHANNELS):
+        world = se3.transform_points(pose, ds[kind].xyz)
+        new_maps[kind] = map_state.merge_scan_into_index(
+            grids[kind]._replace(rg=rgs[i]),
+            world,
+            scan_rgs[i],
+            ds[kind].valid,
+            pose.t,
+            _leaf(cfg, kind),
+            cfg,
+            kind,
+        )
+
+    new_state = BPFState(
+        beam_map=new_maps["beam"],
+        pillar_map=new_maps["pillar"],
+        facade_map=new_maps["facade"],
+        pose=pose,
+        last_pose=last_pose,
+        opt_count=opt_count,
+    )
+    diag = BPFDiag(
+        n_corr=counts,
+        map_sizes=jnp.stack([new_maps[k].valid.sum() for k in CHANNELS]),
+    )
+    return new_state, diag
+
+
+def merged_map(state: BPFState) -> voxel.PointSet:
+    """Concatenated beam+pillar+facade map (ref ``mergeFeatures``,
+    src/odomEstimationClass.cpp:1297-1306)."""
+    return voxel.concat_pointsets(
+        voxel.concat_pointsets(
+            voxel.PointSet(state.beam_map.xyz, state.beam_map.rg, state.beam_map.valid),
+            voxel.PointSet(state.pillar_map.xyz, state.pillar_map.rg, state.pillar_map.valid),
+        ),
+        voxel.PointSet(state.facade_map.xyz, state.facade_map.rg, state.facade_map.valid),
+    )

@@ -64,6 +64,15 @@ def make_world(seed: int = 0, corridor_len: float = 400.0) -> World:
             y_face = side * depth_off
             # Front facade (plane y = y_face over x in [x, x+w]).
             walls_y.append([y_face, x, x + w, 0.0, h])
+            # Protruding ledges (awnings / eaves): narrow horizontal bands
+            # well in front of the facade at fixed heights — the stable
+            # horizontal line features ("beams") real urban scenes provide.
+            # Tall enough (0.3 m) to catch a scan ring at range, and far
+            # enough out (1.2 m) that the PCA radius-1 neighborhood never
+            # mixes them with the facade behind.
+            for z_l in (2.4, 4.6):
+                if z_l < h - 0.5:
+                    walls_y.append([y_face - side * 1.2, x, x + w, z_l, z_l + 0.3])
             # Side walls (plane x = const) — corners create edge lines.
             y_back = side * (depth_off + rng.uniform(4.0, 8.0))
             walls_x.append([x, min(y_face, y_back), max(y_face, y_back), 0.0, h])
