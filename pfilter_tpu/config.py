@@ -188,3 +188,82 @@ def floam_equivalent_config() -> PipelineConfig:
     return PipelineConfig(
         odometry=OdometryConfig(k_new=0.0, theta_p=0.0, theta_max=0.0, map_resolution=0.4),
     )
+
+
+# ---------------------------------------------------------------------------
+# YAML / CLI override layer — the typed replacement for the reference's three
+# config mechanisms (ROS params re-parsed from strings, per-frame yaml-cpp
+# reload, hard-coded header thresholds; SURVEY.md §5 "Config / flag system",
+# ref: src/odomEstimationNode.cpp:350-370, src/additionClass.cpp:17-35).
+# ---------------------------------------------------------------------------
+
+_PRESETS = {
+    "default": PipelineConfig,
+    "kitti": kitti_config,
+    "campus32": campus_32beam_config,
+    "floam": floam_equivalent_config,
+}
+
+
+def _coerce(value, ref):
+    """Coerce a YAML/CLI value to the type of the dataclass default."""
+    if isinstance(ref, bool):
+        return value in (True, "true", "True", "1", 1)
+    if isinstance(ref, int) and not isinstance(value, bool):
+        return int(value)
+    if isinstance(ref, float):
+        return float(value)
+    return value
+
+
+def apply_overrides(cfg: PipelineConfig, overrides: dict) -> PipelineConfig:
+    """Nested-dict overrides: {"odometry": {"theta_p": 0.5}, "mode": "bpf"}."""
+    kwargs = {}
+    for key, val in overrides.items():
+        cur = getattr(cfg, key)
+        if dataclasses.is_dataclass(cur) and isinstance(val, dict):
+            sub = {}
+            for k, v in val.items():
+                if not hasattr(cur, k):
+                    raise KeyError(f"unknown config field {key}.{k}")
+                sub[k] = _coerce(v, getattr(cur, k))
+            kwargs[key] = dataclasses.replace(cur, **sub)
+        else:
+            if not hasattr(cfg, key):
+                raise KeyError(f"unknown config field {key}")
+            kwargs[key] = _coerce(val, cur)
+    return dataclasses.replace(cfg, **kwargs)
+
+
+def apply_dotted_overrides(cfg: PipelineConfig, pairs) -> PipelineConfig:
+    """CLI-style "odometry.theta_p=0.5" strings."""
+    nested: dict = {}
+    for pair in pairs:
+        path, _, raw = pair.partition("=")
+        keys = path.strip().split(".")
+        d = nested
+        for k in keys[:-1]:
+            d = d.setdefault(k, {})
+        d[keys[-1]] = raw.strip()
+    return apply_overrides(cfg, nested)
+
+
+def load_config(
+    preset: str = "default",
+    yaml_path=None,
+    cli_overrides=(),
+) -> PipelineConfig:
+    """preset -> YAML file -> CLI dotted overrides, later wins."""
+    try:
+        cfg = _PRESETS[preset]()
+    except KeyError:
+        raise KeyError(f"unknown preset {preset!r}; have {sorted(_PRESETS)}")
+    if yaml_path is not None:
+        import yaml  # pyyaml ships with the baked-in stack
+
+        with open(yaml_path) as f:
+            data = yaml.safe_load(f) or {}
+        cfg = apply_overrides(cfg, data)
+    if cli_overrides:
+        cfg = apply_dotted_overrides(cfg, cli_overrides)
+    return cfg

@@ -122,3 +122,104 @@ class ESPipeline:
         q = np.stack([r.pose_q for r in self.records])
         t = np.stack([r.pose_t for r in self.records])
         return q, t
+
+
+@dataclass
+class BPFFrameRecord:
+    pose_q: np.ndarray
+    pose_t: np.ndarray
+    n_corr: np.ndarray  # [3] beam/pillar/facade correspondences
+    map_sizes: np.ndarray  # [3]
+    ms: float
+
+
+@dataclass
+class BPFPipeline:
+    """End-to-end BPF odometry: ground seg -> DCVC -> PCA classify ->
+    beam/pillar/facade scan-to-map GN (the reference's default launch path,
+    curvedVoxel_node + odom_multi_estimation;
+    ref: src/additionNode.cpp:12-54, src/odomEstimationNode.cpp:191-331)."""
+
+    cfg: PipelineConfig
+    use_ground_filter: bool = True
+    use_curved_filter: bool = True
+    state: object = None
+    records: list = field(default_factory=list)
+
+    def __post_init__(self):
+        from pfilter_tpu.models import bpf_frontend, bpf_odometry
+
+        cfg = self.cfg
+        gf, cf = self.use_ground_filter, self.use_curved_filter
+
+        def _frontend(xyz, mask):
+            fr = bpf_frontend.run_frontend(xyz, mask, cfg, gf, cf)
+            return fr.beam_mask, fr.pillar_mask, fr.facade_mask
+
+        def _first(state, xyz, masks):
+            return bpf_odometry.first_frame(state, xyz, masks, cfg)
+
+        def _step(state, xyz, masks):
+            return bpf_odometry.bpf_step(state, xyz, masks, cfg)
+
+        self._frontend = jax.jit(_frontend)
+        self._first = jax.jit(_first)
+        self._step = jax.jit(_step, donate_argnums=(0,))
+        self._bpf = bpf_odometry
+
+    def _pad_scan(self, xyz: np.ndarray, valid: Optional[np.ndarray]):
+        cap = self.cfg.capacity.scan_points
+        n = min(len(xyz), cap)
+        out = np.zeros((cap, 3), np.float32)
+        out[:n] = xyz[:n]
+        mask = np.zeros(cap, bool)
+        mask[:n] = True if valid is None else valid[:n]
+        return jnp.asarray(out), jnp.asarray(mask)
+
+    def process_frame(self, xyz, valid=None) -> BPFFrameRecord:
+        t0 = time.perf_counter()
+        if isinstance(xyz, np.ndarray):
+            xyz_d, mask_d = self._pad_scan(xyz, valid)
+        else:
+            xyz_d = xyz
+            mask_d = valid if valid is not None else jnp.ones(xyz.shape[0], bool)
+        beam, pillar, facade = self._frontend(xyz_d, mask_d)
+        masks = {"beam": beam, "pillar": pillar, "facade": facade}
+        if self.state is None:
+            self.state = self._bpf.init_state(self.cfg)
+            self.state = self._first(self.state, xyz_d, masks)
+            n_corr = np.zeros(3, np.int32)
+            map_sizes = np.array(
+                [
+                    int(self.state.beam_map.valid.sum()),
+                    int(self.state.pillar_map.valid.sum()),
+                    int(self.state.facade_map.valid.sum()),
+                ]
+            )
+        else:
+            self.state, diag = self._step(self.state, xyz_d, masks)
+            n_corr = np.asarray(diag.n_corr)
+            map_sizes = np.asarray(diag.map_sizes)
+        jax.block_until_ready(self.state.pose.t)
+        rec = BPFFrameRecord(
+            pose_q=np.asarray(self.state.pose.q),
+            pose_t=np.asarray(self.state.pose.t),
+            n_corr=n_corr,
+            map_sizes=map_sizes,
+            ms=(time.perf_counter() - t0) * 1e3,
+        )
+        self.records.append(rec)
+        return rec
+
+    @property
+    def trajectory(self):
+        q = np.stack([r.pose_q for r in self.records])
+        t = np.stack([r.pose_t for r in self.records])
+        return q, t
+
+
+def make_pipeline(cfg: PipelineConfig, **kw):
+    """Pipeline factory by cfg.mode ("es" | "bpf")."""
+    if cfg.mode == "bpf":
+        return BPFPipeline(cfg=cfg, **kw)
+    return ESPipeline(cfg=cfg)
