@@ -35,11 +35,20 @@ class FrameRecord:
 
 @dataclass
 class ESPipeline:
-    """End-to-end ES odometry over a scan stream."""
+    """End-to-end ES odometry over a scan stream.
+
+    Fault tolerance (SURVEY.md §5 — the reference has none; a bad frame
+    poisons the map and a node crash kills the pipeline): a frame that
+    produces a non-finite or implausibly large pose jump is *dropped* — the
+    state rolls back to the previous frame's and the scan is skipped.
+    Combined with utils.checkpoint this makes the engine restartable and
+    bad-input tolerant."""
 
     cfg: PipelineConfig
     state: Optional[es_odometry.ESState] = None
     records: list = field(default_factory=list)
+    max_jump_m: float = 10.0  # pose jump that marks a frame corrupt
+    n_dropped: int = 0
     _n_frames: int = 0
 
     def __post_init__(self):
@@ -93,7 +102,26 @@ class ESPipeline:
                 surf_map_size=self.state.surf_map.valid.sum(),
             )
         else:
+            # The step donates the old state's buffers; snapshot the (tiny)
+            # pose on host first so a corrupt frame can be rolled back.
+            prev_q = np.asarray(self.state.pose.q)
+            prev_t = np.asarray(self.state.pose.t)
+            prev_last_q = np.asarray(self.state.last_pose.q)
+            prev_last_t = np.asarray(self.state.last_pose.t)
             self.state, diag = self._step(self.state, feat)
+            new_t = np.asarray(self.state.pose.t)
+            bad = not np.isfinite(new_t).all() or (
+                np.linalg.norm(new_t - prev_t) > self.max_jump_m
+            )
+            if bad:
+                # Drop the frame: restore the previous pose (the merged map
+                # keeps one bad-scan merge — bounded damage; persistence
+                # eviction cleans it up over the following frames).
+                self.state = self.state._replace(
+                    pose=se3.Pose(q=jnp.asarray(prev_q), t=jnp.asarray(prev_t)),
+                    last_pose=se3.Pose(q=jnp.asarray(prev_last_q), t=jnp.asarray(prev_last_t)),
+                )
+                self.n_dropped += 1
         jax.block_until_ready(self.state.pose.t)
         ms = (time.perf_counter() - t0) * 1e3
         rec = FrameRecord(
