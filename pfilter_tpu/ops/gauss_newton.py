@@ -27,7 +27,7 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
-from pfilter_tpu.ops import se3
+from pfilter_tpu.ops import eig3, se3
 
 
 class Correspondences(NamedTuple):
@@ -134,8 +134,7 @@ def fit_lines(neighbors: jnp.ndarray, eig_ratio: float, half_length: float):
     center = jnp.mean(neighbors, axis=1)
     zm = neighbors - center[:, None, :]
     cov = jnp.einsum("mki,mkj->mij", zm, zm)
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending
-    direction = evecs[..., 2]
+    evals, direction = eig3.eigh3_largest(cov)  # closed form — see ops.eig3
     ok = evals[..., 2] > eig_ratio * evals[..., 1]
     pa = center + half_length * direction
     pb = center - half_length * direction
@@ -156,8 +155,7 @@ def fit_planes(neighbors: jnp.ndarray, tol: float):
     center = jnp.mean(neighbors, axis=1)
     zm = neighbors - center[:, None, :]
     cov = jnp.einsum("mki,mkj->mij", zm, zm)
-    _, evecs = jnp.linalg.eigh(cov)
-    normal = evecs[..., 0]
+    _, normal = eig3.eigh3_smallest(cov)  # closed form — see ops.eig3
     d = -jnp.sum(normal * center, axis=-1)
     resid = jnp.abs(jnp.einsum("mkj,mj->mk", neighbors, normal) + d[:, None])
     ok = jnp.all(resid <= tol, axis=-1)

@@ -19,6 +19,8 @@ from typing import NamedTuple
 
 import jax.numpy as jnp
 
+from pfilter_tpu.ops import eig3
+
 from pfilter_tpu.config import PCAClassifyConfig
 from pfilter_tpu.ops.pca_radius import PCAMoments
 
@@ -39,7 +41,7 @@ def classify(
     neigh_k_min: int = 8,
 ) -> ClassifyResult:
     cov = moments.cov
-    evals, evecs = jnp.linalg.eigh(cov)  # ascending
+    evals, evecs = eig3.eigh3(cov)  # ascending, closed form — see ops.eig3
     l1 = jnp.maximum(evals[..., 2], 1e-12)  # largest
     l2 = evals[..., 1]
     l3 = evals[..., 0]
