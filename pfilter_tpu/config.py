@@ -77,6 +77,7 @@ class OdometryConfig:
     inner_gn_iters: int = 4  # Ceres max_num_iterations (ref: :265)
     gn_damping: float = 1.0e-6  # small LM-style Tikhonov on the 6x6 system
     aging_increment: float = 2.0  # r += 2 per frame, cap 255 (ref: :634-646)
+    max_jump_m: float = 10.0  # per-frame pose jump marking a corrupt frame (fault tolerance)
     observe_saturate_ratio: float = 5.0  # observe/round > 5 -> observe = 255 (ref: :348)
     counter_cap: float = 255.0
 
@@ -167,10 +168,22 @@ class PipelineConfig:
 
 
 def kitti_config() -> PipelineConfig:
-    """KITTI HDL-64 parameters (launch/pfilter_kitti.launch:49-64)."""
+    """KITTI HDL-64 parameters (launch/pfilter_kitti.launch:49-64).
+
+    Capacities are sized to measured KITTI-scale loads (the crop box bounds
+    the map to +-100 m and the 0.4/0.8 m rgbds voxels bound its density; the
+    persistence filter keeps it far below even that).  Smaller capacities cut
+    every sort/merge/kNN cost linearly, so they are tuned tight-but-safe
+    rather than generous."""
     return PipelineConfig(
         lidar=LidarConfig(num_lines=64, max_distance=90.0, min_distance=3.0),
         odometry=OdometryConfig(k_new=0.0, theta_p=0.4, theta_max=75.0, map_resolution=0.4),
+        capacity=CapacityConfig(
+            edge_map_points=32768,
+            surf_map_points=131072,
+            edge_tile_cap=128,
+            surf_tile_cap=256,
+        ),
     )
 
 

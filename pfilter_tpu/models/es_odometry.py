@@ -55,6 +55,7 @@ class FrameDiag(NamedTuple):
     n_surf_corr: jnp.ndarray
     edge_map_size: jnp.ndarray
     surf_map_size: jnp.ndarray
+    dropped: jnp.ndarray = False  # device-side corrupt-frame guard fired
 
 
 def init_state(cfg: PipelineConfig) -> ESState:
@@ -113,6 +114,7 @@ def _associate(
     scan_valid: jnp.ndarray,
     scan_rg: jnp.ndarray,
     cfg: PipelineConfig,
+    qsort_bounds: jnp.ndarray | None = None,
 ) -> _Assoc:
     """One correspondence-building pass (ref ``addEdgeCostFactor`` /
     ``addSurfCostFactor``, src/odomEstimationClass.cpp:284-578): 5-NN lookup,
@@ -123,7 +125,14 @@ def _associate(
 
     # Query in world coords; the index stores world points.
     q_world = se3.transform_points(pose_local, scan_xyz) + center
-    nn_idx, nn_sq = map_state.query_index(grid, q_world, scan_valid, cfg, kind)
+    if qsort_bounds is not None:
+        # scan_xyz is already in tile-sorted order; skip the per-pass sort.
+        nn_idx, nn_sq = map_state.query_index_presorted(
+            grid, q_world, qsort_bounds, cfg, kind
+        )
+        nn_sq = jnp.where(scan_valid[:, None], nn_sq, jnp.inf)
+    else:
+        nn_idx, nn_sq = map_state.query_index(grid, q_world, scan_valid, cfg, kind)
     gate = nn_sq[:, k - 1] < o.nn_gate_sq
 
     neigh = grid.xyz[nn_idx] - center  # [M,5,3] local frame for fp32 fits
@@ -234,15 +243,50 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
 
     edge_grid, surf_grid = state.edge_map, state.surf_map
 
+    # Tile-sort each downsampled feature cloud ONCE per frame at the
+    # predicted pose and keep everything downstream (association, GN, map
+    # merge) in sorted order — correspondence order is irrelevant to the GN
+    # reduction and to the voxel-scatter merge, and the kernel's halo margin
+    # absorbs the sub-meter pose refinement across outer iterations.
+    e_bounds = s_bounds = None
+    e_sort = map_state.sort_queries_for_index(
+        edge_grid,
+        se3.transform_points(pred, ds_edge.xyz),
+        ds_edge.valid,
+        cfg,
+        "edge",
+    )
+    if e_sort is not None:
+        s_sort = map_state.sort_queries_for_index(
+            surf_grid,
+            se3.transform_points(pred, ds_surf.xyz),
+            ds_surf.valid,
+            cfg,
+            "surf",
+        )
+        ds_edge = voxel.PointSet(
+            xyz=ds_edge.xyz[e_sort.order],
+            rg=ds_edge.rg[e_sort.order],
+            valid=ds_edge.valid[e_sort.order],
+        )
+        ds_surf = voxel.PointSet(
+            xyz=ds_surf.xyz[s_sort.order],
+            rg=ds_surf.rg[s_sort.order],
+            valid=ds_surf.valid[s_sort.order],
+        )
+        e_bounds, s_bounds = e_sort.bounds, s_sort.bounds
+
     def outer_body(carry):
         q, t_l, e_rg, s_rg, se_rg, ss_rg, _, _, it = carry
         pose_l = se3.Pose(q=q, t=t_l)
 
         ea = _associate(
-            "edge", edge_grid, e_rg, pose_l, center, ds_edge.xyz, ds_edge.valid, se_rg, cfg
+            "edge", edge_grid, e_rg, pose_l, center, ds_edge.xyz, ds_edge.valid, se_rg, cfg,
+            qsort_bounds=e_bounds,
         )
         sa = _associate(
-            "surf", surf_grid, s_rg, pose_l, center, ds_surf.xyz, ds_surf.valid, ss_rg, cfg
+            "surf", surf_grid, s_rg, pose_l, center, ds_surf.xyz, ds_surf.valid, ss_rg, cfg,
+            qsort_bounds=s_bounds,
         )
 
         e_rg = e_rg.at[:, 1].set(jnp.minimum(o.counter_cap, e_rg[:, 1] + ea.g_increment))
@@ -304,6 +348,24 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
 
     pose = se3.Pose(q=q, t=t_l + center)
 
+    # Device-side corrupt-frame guard (SURVEY.md §5 — the reference has no
+    # fault tolerance; a bad scan poisons the pose forever).  A non-finite or
+    # implausibly large pose jump rolls the pose back to the previous frame's
+    # inside the XLA program, so the host never needs a per-frame sync to
+    # check.  The merge below still runs with the rolled-back pose (bounded
+    # damage; persistence eviction cleans residue up over following frames).
+    finite = jnp.all(jnp.isfinite(pose.q)) & jnp.all(jnp.isfinite(pose.t))
+    jump = jnp.linalg.norm(jnp.where(finite, pose.t - state.pose.t, 0.0))
+    dropped = ~finite | (jump > o.max_jump_m)
+    pose = se3.Pose(
+        q=jnp.where(dropped, state.pose.q, pose.q),
+        t=jnp.where(dropped, state.pose.t, pose.t),
+    )
+    last_pose = se3.Pose(
+        q=jnp.where(dropped, state.last_pose.q, last_pose.q),
+        t=jnp.where(dropped, state.last_pose.t, last_pose.t),
+    )
+
     # Map merge (ref addPointsToMap, :589-647) in world coords.
     edge_world = se3.transform_points(pose, ds_edge.xyz)
     surf_world = se3.transform_points(pose, ds_surf.xyz)
@@ -340,5 +402,6 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
         n_surf_corr=ns,
         edge_map_size=new_edge.valid.sum(),
         surf_map_size=new_surf.valid.sum(),
+        dropped=dropped,
     )
     return new_state, diag

@@ -61,6 +61,29 @@ def build_index(xyz, rg, valid, pose_t, cfg: PipelineConfig, kind: str):
     return knn.build_grid(xyz, rg, valid, origin, cell)
 
 
+def sort_queries_for_index(index, q_xyz_world, q_valid, cfg: PipelineConfig, kind: str):
+    """Tile-sort a query cloud once per frame (tiled impl only; returns None
+    for the grid impl).  GN outer iterations refine the pose by far less than
+    the kernel's halo margin (>= 3 m for 4 m tiles vs the 1 m correspondence
+    gate), so the sort computed at the *predicted* pose stays exact for every
+    iteration — this replaces a per-iteration sort with a per-frame one."""
+    if cfg.capacity.knn_impl != "tiled":
+        return None
+    nt, tc, _ = _tile_params(cfg, kind)
+    return knn_tiled.sort_queries(q_xyz_world, q_valid, index.origin, nt, tc)
+
+
+def query_index_presorted(index, sq_xyz_world, bounds, cfg: PipelineConfig, kind: str):
+    """5-NN for queries already in tile-sorted order (results in the same
+    order).  Only valid for the tiled impl."""
+    cap = cfg.capacity
+    nt, tc, tcap = _tile_params(cfg, kind)
+    res = knn_tiled.query_tiled_sorted(
+        index, sq_xyz_world, bounds, nt, tc, tcap, k=cap.knn_k, interpret=_interpret_mode()
+    )
+    return res.idx, res.sqdist
+
+
 def query_index(index, q_xyz, q_valid, cfg: PipelineConfig, kind: str):
     """5-NN of each query against the index; returns (idx [Q,5], sqdist [Q,5])."""
     cap = cfg.capacity
@@ -126,6 +149,134 @@ def map_from_points(
     return knn.build_grid(xyz, rg, valid, origin, cell_size)
 
 
+_FUSED_NZ = 1024  # z-voxel window (1024 * leaf meters, centered at the pose)
+
+
+def _fused_merge_tiled(
+    index,
+    scan_xyz_world: jnp.ndarray,
+    scan_rg: jnp.ndarray,
+    scan_valid: jnp.ndarray,
+    pose_t: jnp.ndarray,
+    leaf: float,
+    cfg: PipelineConfig,
+    kind: str,
+):
+    """Fused map merge for the tiled index: ONE sort serves both the rgbds
+    re-voxelization and the kNN tile layout.
+
+    The sort key packs ``(tile_id, local_voxel_id)``: the voxel grid is
+    anchored at the tile-window origin and ``leaf`` divides the tile size, so
+    every voxel lies entirely inside one tile and ascending-key order is
+    simultaneously (a) grouped by voxel for the segment reduce and (b)
+    tile-major for the kNN kernel's slot ranges.  This replaces the unfused
+    path's two full-map argsorts per frame (rgbds sort + tile re-sort,
+    ref rgbds sort: src/odomEstimationClass.cpp:74) with one.
+
+    Voxel boundaries are absolute multiples of ``leaf`` (the window origin is
+    a multiple of the tile size, hence of ``leaf``), unlike the reference's
+    cloud-min-anchored rgbds — a deliberate divergence that also removes
+    frame-to-frame re-quantization jitter.
+    """
+    o = cfg.odometry
+    nt, tc, _ = _tile_params(cfg, kind)
+    capacity = map_capacity(cfg, kind)
+    ts = float(tc)
+    nvx = int(round(ts / leaf))
+    if abs(nvx * leaf - ts) > 1e-6:
+        raise ValueError(f"leaf {leaf} must divide tile size {ts}")
+    nz = _FUSED_NZ
+    if (nt * nt) * nvx * nvx * nz >= 2**31:
+        raise ValueError("fused merge key exceeds int32")
+
+    origin = knn_tiled.tile_origin_for_pose(pose_t, nt, tc)
+
+    xyz = jnp.concatenate([index.xyz, scan_xyz_world], axis=0)
+    rg = jnp.concatenate([index.rg, scan_rg], axis=0)
+    valid = jnp.concatenate([index.valid, scan_valid], axis=0)
+    # Crop (ref: src/odomEstimationClass.cpp:606-623).  The crop radius is
+    # strictly inside the tile window, so tile clipping below never binds.
+    valid = valid & jnp.all(jnp.abs(xyz - pose_t) <= o.crop_half_extent, axis=-1)
+
+    rel = xyz[:, :2] - origin[:2]
+    t2 = jnp.clip(jnp.floor(rel / ts).astype(jnp.int32), 1, nt - 2)
+    tid = t2[:, 0] * nt + t2[:, 1]
+    # In exact arithmetic lxy is in [0, nvx); fp rounding near a shared
+    # tile/voxel boundary can push it one off — clip (the point lands in the
+    # boundary voxel of its tile; sub-leaf misplacement, no key collision).
+    lxy = jnp.clip(jnp.floor(rel / leaf).astype(jnp.int32) - t2 * nvx, 0, nvx - 1)
+    lz = jnp.clip(
+        jnp.floor((xyz[:, 2] - (pose_t[2] - nz * leaf / 2.0)) / leaf).astype(jnp.int32),
+        0,
+        nz - 1,
+    )
+    key = ((tid * nvx + lxy[:, 0]) * nvx + lxy[:, 1]) * nz + lz
+    key = jnp.where(valid, key, jnp.iinfo(jnp.int32).max)
+
+    order = jnp.argsort(key)
+    skey = key[order]
+    sxyz = xyz[order]
+    srg = rg[order]
+    sval = valid[order]
+
+    head = jnp.concatenate([jnp.ones(1, bool), skey[1:] != skey[:-1]])
+    seg = jnp.cumsum(head.astype(jnp.int32)) - 1
+    seg = jnp.where(sval, seg, capacity)
+
+    ones = sval.astype(jnp.float32)
+    cnt = jax.ops.segment_sum(ones, seg, num_segments=capacity, indices_are_sorted=True)
+    sums = jax.ops.segment_sum(
+        sxyz * ones[:, None], seg, num_segments=capacity, indices_are_sorted=True
+    )
+    rg_max = jax.ops.segment_max(
+        jnp.where(sval[:, None], srg, -jnp.inf),
+        seg,
+        num_segments=capacity,
+        indices_are_sorted=True,
+    )
+    key_min = jax.ops.segment_min(
+        jnp.where(sval, skey, jnp.iinfo(jnp.int32).max),
+        seg,
+        num_segments=capacity,
+        indices_are_sorted=True,
+    )
+    occupied = cnt > 0
+    centroid = sums / jnp.maximum(cnt, 1.0)[:, None]
+    out_rg = jnp.where(occupied[:, None], rg_max, 0.0)
+
+    # Persistence eviction + aging (ref: :631-646).
+    keep = voxel.persistence_keep(out_rg, o.k_new, o.theta_p, o.theta_max)
+    out_valid = occupied & keep
+    r = out_rg[:, 0]
+    r = jnp.where(r > o.counter_cap - 5.0, o.counter_cap, r + o.aging_increment)
+    out_rg = out_rg.at[:, 0].set(jnp.where(out_valid, r, out_rg[:, 0]))
+
+    # Tile ranges straight from the keys: outputs are ascending-key, hence
+    # ascending-tile; empty slots get the one-past-last tile id.
+    out_tid = jnp.where(occupied, key_min // (nvx * nvx * nz), nt * nt)
+    tile_start = jnp.searchsorted(
+        out_tid, jnp.arange(nt * nt + 1, dtype=jnp.int32)
+    ).astype(jnp.int32)
+
+    # Kernel-side transposed copy: evicted/empty slots pushed to FAR so they
+    # can never win a kNN race (they still occupy slot ranges — harmless).
+    tile_cap = _tile_params(cfg, kind)[2]
+    pad = 3 * tile_cap + knn_tiled._ALIGN
+    xyz_t = jnp.full((4, capacity + pad), knn_tiled._FAR, jnp.float32)
+    xyz_t = xyz_t.at[:3, :capacity].set(
+        jnp.where(out_valid[None, :], centroid.T, knn_tiled._FAR)
+    )
+    xyz_t = xyz_t.at[3, :].set(0.0)
+    return knn_tiled.TiledMap(
+        xyz=centroid,
+        rg=out_rg,
+        valid=out_valid,
+        xyz_t=xyz_t,
+        tile_start=tile_start,
+        origin=origin,
+    )
+
+
 def merge_scan_into_index(
     index,
     scan_xyz_world: jnp.ndarray,
@@ -140,6 +291,10 @@ def merge_scan_into_index(
     src/odomEstimationClass.cpp:589-647): append the pose-transformed scan,
     crop +-100 m, rgbds re-voxelize (centroid + max r/g), evict, age, re-sort."""
     o = cfg.odometry
+    if cfg.capacity.knn_impl == "tiled":
+        return _fused_merge_tiled(
+            index, scan_xyz_world, scan_rg, scan_valid, pose_t, leaf, cfg, kind
+        )
     capacity = map_capacity(cfg, kind)
     combined = voxel.concat_pointsets(
         voxel.PointSet(xyz=index.xyz, rg=index.rg, valid=index.valid),

@@ -332,6 +332,22 @@ def _es_step_block(state, feat, cfg: PipelineConfig, n_map: int):
     )
     pose = se3.Pose(q=q, t=t_l + center)
 
+    # Device-side corrupt-frame guard — identical to the single-chip step
+    # (see es_odometry.es_step): every shard computes the same pose (psum'd
+    # normal equations), so the rollback decision is replicated and needs no
+    # extra collective.
+    finite = jnp.all(jnp.isfinite(pose.q)) & jnp.all(jnp.isfinite(pose.t))
+    jump = jnp.linalg.norm(jnp.where(finite, pose.t - state.pose.t, 0.0))
+    dropped = ~finite | (jump > o.max_jump_m)
+    pose = se3.Pose(
+        q=jnp.where(dropped, state.pose.q, pose.q),
+        t=jnp.where(dropped, state.pose.t, pose.t),
+    )
+    last_pose = se3.Pose(
+        q=jnp.where(dropped, state.last_pose.q, last_pose.q),
+        t=jnp.where(dropped, state.last_pose.t, last_pose.t),
+    )
+
     edge_world = se3.transform_points(pose, ds_edge.xyz)
     surf_world = se3.transform_points(pose, ds_surf.xyz)
     new_edge = _sharded_merge(
@@ -355,6 +371,7 @@ def _es_step_block(state, feat, cfg: PipelineConfig, n_map: int):
         n_surf_corr=ns,
         edge_map_size=lax.psum(new_edge.valid.sum(), MAP_AXIS),
         surf_map_size=lax.psum(new_surf.valid.sum(), MAP_AXIS),
+        dropped=dropped,
     )
     return new_state, diag
 
@@ -401,6 +418,7 @@ def make_sharded_step(cfg: PipelineConfig, mesh, first: bool = False):
                 n_surf_corr=jnp.asarray(0, jnp.int32),
                 edge_map_size=lax.psum(new_state.edge_map.valid.sum(), MAP_AXIS),
                 surf_map_size=lax.psum(new_state.surf_map.valid.sum(), MAP_AXIS),
+                dropped=jnp.asarray(False),
             )
         else:
             new_state, diag = _es_step_block(state, feat, cfg, n_map)
@@ -411,6 +429,7 @@ def make_sharded_step(cfg: PipelineConfig, mesh, first: bool = False):
         n_surf_corr=P("seq"),
         edge_map_size=P("seq"),
         surf_map_size=P("seq"),
+        dropped=P("seq"),
     )
     sharded = jax.shard_map(
         block_fn,

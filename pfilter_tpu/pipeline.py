@@ -19,7 +19,7 @@ import numpy as np
 
 from pfilter_tpu.config import PipelineConfig
 from pfilter_tpu.models import es_odometry
-from pfilter_tpu.ops import features, se3
+from pfilter_tpu.ops import features
 
 
 @dataclass
@@ -38,21 +38,38 @@ class ESPipeline:
     """End-to-end ES odometry over a scan stream.
 
     Fault tolerance (SURVEY.md §5 — the reference has none; a bad frame
-    poisons the map and a node crash kills the pipeline): a frame that
-    produces a non-finite or implausibly large pose jump is *dropped* — the
-    state rolls back to the previous frame's and the scan is skipped.
-    Combined with utils.checkpoint this makes the engine restartable and
-    bad-input tolerant."""
+    poisons the map and a node crash kills the pipeline): a frame whose
+    optimized pose is non-finite or jumps implausibly far is *dropped by the
+    device itself* — ``es_step`` rolls the pose back inside the XLA program
+    (see es_odometry), so the host loop needs no per-frame synchronization to
+    stay safe.  Combined with utils.checkpoint this makes the engine
+    restartable and bad-input tolerant.
+
+    Dispatch model: JAX dispatch is asynchronous, so the host can run ahead
+    of the device.  With ``sync=True`` (default) every frame's pose and
+    diagnostics are fetched before returning — one device round trip per
+    frame (the device may sit behind a network tunnel; a round trip is
+    ~tens of ms).  With ``sync=False`` fetches lag ``fetch_lag`` frames
+    behind dispatch, hiding that latency entirely; call :meth:`flush` (or
+    read :attr:`trajectory`) to drain the tail."""
 
     cfg: PipelineConfig
     state: Optional[es_odometry.ESState] = None
     records: list = field(default_factory=list)
     max_jump_m: float = 10.0  # pose jump that marks a frame corrupt
+    sync: bool = True
+    fetch_lag: int = 4
     n_dropped: int = 0
     _n_frames: int = 0
 
     def __post_init__(self):
-        cfg = self.cfg
+        import dataclasses as _dc
+
+        cfg = self.cfg.replace(
+            odometry=_dc.replace(self.cfg.odometry, max_jump_m=self.max_jump_m)
+        )
+        self.cfg = cfg
+        self._pending: list = []
 
         def _extract(xyz, mask):
             return features.extract_features(xyz, mask, cfg.lidar, cfg.features, cfg.capacity)
@@ -65,7 +82,8 @@ class ESPipeline:
 
         self._extract = jax.jit(_extract)
         self._first = jax.jit(_first)
-        self._step = jax.jit(_step, donate_argnums=(0,))
+        # No donation: deferred fetches keep references to result buffers.
+        self._step = jax.jit(_step)
 
     def _pad_scan(self, xyz: np.ndarray, valid: Optional[np.ndarray]):
         cap = self.cfg.capacity.scan_points
@@ -79,8 +97,37 @@ class ESPipeline:
             mask[:n] = valid[:n]
         return jnp.asarray(out), jnp.asarray(mask)
 
-    def process_frame(self, xyz, valid=None) -> FrameRecord:
-        """Feed one sensor-frame scan ([N,3] float32 + optional validity)."""
+    def _drain_one(self):
+        """Fetch the oldest pending frame's results into a FrameRecord."""
+        t0, refs = self._pending.pop(0)
+        pose_q, pose_t, diag = jax.device_get(refs)
+        dropped = bool(getattr(diag, "dropped", False))
+        if dropped:
+            self.n_dropped += 1
+        rec = FrameRecord(
+            pose_q=pose_q,
+            pose_t=pose_t,
+            n_edge_corr=int(diag.n_edge_corr),
+            n_surf_corr=int(diag.n_surf_corr),
+            edge_map_size=int(diag.edge_map_size),
+            surf_map_size=int(diag.surf_map_size),
+            ms=(time.perf_counter() - t0) * 1e3,
+        )
+        self.records.append(rec)
+        return rec
+
+    def flush(self) -> list:
+        """Drain all pending fetches (call after the last frame in async mode)."""
+        while self._pending:
+            self._drain_one()
+        return self.records
+
+    def process_frame(self, xyz, valid=None) -> Optional[FrameRecord]:
+        """Feed one sensor-frame scan ([N,3] float32 + optional validity).
+
+        Returns the completed FrameRecord in sync mode; in async mode returns
+        the record of the frame ``fetch_lag`` frames ago (or None while the
+        pipeline is still filling)."""
         t0 = time.perf_counter()
         if isinstance(xyz, np.ndarray):
             xyz_d, mask_d = self._pad_scan(xyz, valid)
@@ -100,41 +147,16 @@ class ESPipeline:
                 n_surf_corr=jnp.asarray(0),
                 edge_map_size=self.state.edge_map.valid.sum(),
                 surf_map_size=self.state.surf_map.valid.sum(),
+                dropped=jnp.asarray(False),
             )
         else:
-            # The step donates the old state's buffers; snapshot the (tiny)
-            # pose on host first so a corrupt frame can be rolled back.
-            prev_q = np.asarray(self.state.pose.q)
-            prev_t = np.asarray(self.state.pose.t)
-            prev_last_q = np.asarray(self.state.last_pose.q)
-            prev_last_t = np.asarray(self.state.last_pose.t)
             self.state, diag = self._step(self.state, feat)
-            new_t = np.asarray(self.state.pose.t)
-            bad = not np.isfinite(new_t).all() or (
-                np.linalg.norm(new_t - prev_t) > self.max_jump_m
-            )
-            if bad:
-                # Drop the frame: restore the previous pose (the merged map
-                # keeps one bad-scan merge — bounded damage; persistence
-                # eviction cleans it up over the following frames).
-                self.state = self.state._replace(
-                    pose=se3.Pose(q=jnp.asarray(prev_q), t=jnp.asarray(prev_t)),
-                    last_pose=se3.Pose(q=jnp.asarray(prev_last_q), t=jnp.asarray(prev_last_t)),
-                )
-                self.n_dropped += 1
-        jax.block_until_ready(self.state.pose.t)
-        ms = (time.perf_counter() - t0) * 1e3
-        rec = FrameRecord(
-            pose_q=np.asarray(self.state.pose.q),
-            pose_t=np.asarray(self.state.pose.t),
-            n_edge_corr=int(diag.n_edge_corr),
-            n_surf_corr=int(diag.n_surf_corr),
-            edge_map_size=int(diag.edge_map_size),
-            surf_map_size=int(diag.surf_map_size),
-            ms=ms,
-        )
-        self.records.append(rec)
+        self._pending.append((t0, (self.state.pose.q, self.state.pose.t, diag)))
         self._n_frames += 1
+        rec = None
+        lag = 0 if self.sync else max(self.fetch_lag, 0)
+        while len(self._pending) > lag:
+            rec = self._drain_one()
         return rec
 
     def run(self, scans: Iterable) -> list:
@@ -143,10 +165,11 @@ class ESPipeline:
                 self.process_frame(*item)
             else:
                 self.process_frame(item)
-        return self.records
+        return self.flush()
 
     @property
     def trajectory(self):
+        self.flush()
         q = np.stack([r.pose_q for r in self.records])
         t = np.stack([r.pose_t for r in self.records])
         return q, t
