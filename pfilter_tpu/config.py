@@ -47,6 +47,10 @@ class FeatureConfig:
     suppression_radius: int = 5
     curvature_half_window: int = 5
     min_ring_points: int = 131
+    # Candidates kept per (ring, sector) for the pick-and-suppress loop; the
+    # worst case consumed is max_edge_per_sector * (2*suppression_radius + 1)
+    # = 220, so 256 is exact for any input.
+    pick_candidates: int = 256
 
 
 @dataclass(frozen=True)

@@ -202,37 +202,96 @@ def extract_features(
     sector_id = jnp.clip((pos - h) // sector_len, 0, S - 1)
     sector_id = jnp.where(curv_valid, sector_id, -1)
 
-    sector_onehot = sector_id[None] == jnp.arange(S, dtype=jnp.int32)[:, None, None]  # [S,R,C]
     threshold = feat.edge_curvature_threshold
+    K = feat.pick_candidates
+    T = feat.max_edge_per_sector
 
-    def pick_body(_, state):
-        picked, edge_sel = state
-        eligible = curv_valid & ~picked & (curv > threshold)
-        score = jnp.where(sector_onehot & eligible[None], curv[None], -1.0)  # [S,R,C]
-        best = jnp.argmax(score, axis=-1)  # [S,R]
-        best_val = jnp.take_along_axis(score, best[..., None], -1)[..., 0]
-        found = best_val > threshold
+    # --- Candidate compaction: one batched lexicographic sort per ring by
+    # (sector, candidate-first, curvature desc) pulls each sector's pickable
+    # points (curv > threshold) into a contiguous descending-curvature run,
+    # so the pick loop below works on [R, S, K] instead of [S, R, C] (a ~60x
+    # data reduction at HDL-64 scale).  Stable sort => ascending-position
+    # tie-break, the same order as sorting a sector by descending curvature.
+    cand = curv_valid & (curv > threshold)
+    pk = jnp.where(
+        sector_id >= 0,
+        sector_id * 2 + jnp.where(cand, 0, 1),
+        2 * S,
+    ).astype(jnp.int32)
+    neg_curv = jnp.where(cand, -curv, jnp.float32(3.0e38))
+    pos_grid = jnp.broadcast_to(pos, (R, C)).astype(jnp.int32)
+    _, _, spos = jax.lax.sort((pk, neg_curv, pos_grid), dimension=1, num_keys=2)
 
-        lo = best - jnp.take_along_axis(reach_l[None].repeat(S, 0), best[..., None], -1)[..., 0]
-        hi = best + jnp.take_along_axis(reach_r[None].repeat(S, 0), best[..., None], -1)[..., 0]
-        # Suppress [lo, hi] within the pick's own sector; the picked point
-        # itself is always inside this range.
-        supp = (
-            (pos[None] >= lo[..., None])
-            & (pos[None] <= hi[..., None])
-            & sector_onehot
-            & found[..., None]
+    # Per-(ring, key) counts -> start offset of each sector's candidate run.
+    cnts = jnp.zeros((R, 2 * S + 1), jnp.int32)
+    r_rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, C))
+    cnts = cnts.at[r_rows, pk].add(1)
+    starts = jnp.cumsum(cnts, axis=1) - cnts  # exclusive prefix
+    cand_start = starts[:, 0 : 2 * S : 2]  # [R, S]
+    n_cand = cnts[:, 0 : 2 * S : 2]  # [R, S]
+
+    idx = jnp.minimum(
+        cand_start[:, :, None] + jnp.arange(K, dtype=jnp.int32)[None, None, :], C - 1
+    )  # [R,S,K]
+    cmask = jnp.arange(K, dtype=jnp.int32)[None, None, :] < n_cand[:, :, None]
+    flat_idx = idx.reshape(R, S * K)
+    cpos = jnp.take_along_axis(spos, flat_idx, axis=1).reshape(R, S, K)
+    creach_l = jnp.take_along_axis(reach_l, cpos.reshape(R, S * K), axis=1).reshape(R, S, K)
+    creach_r = jnp.take_along_axis(reach_r, cpos.reshape(R, S * K), axis=1).reshape(R, S, K)
+
+    # --- Pick-and-suppress: candidates are descending-curvature, so "highest
+    # unsuppressed curvature" == "first available slot"; suppression is a
+    # position-range mask within the (ring, sector) block (the reference's
+    # picked_points set is sector-local, src/laserProcessingClass.cpp:110-148).
+    klane = jnp.arange(K, dtype=jnp.int32)[None, None, :]
+
+    def pick_body(it, state):
+        avail, edge_c, lo_t, hi_t, found_t = state
+        j = jnp.argmax(avail, axis=2)  # first available = max curvature
+        found = jnp.any(avail, axis=2)
+        p = jnp.take_along_axis(cpos, j[..., None], 2)[..., 0]
+        rl = jnp.take_along_axis(creach_l, j[..., None], 2)[..., 0]
+        rr = jnp.take_along_axis(creach_r, j[..., None], 2)[..., 0]
+        lo = p - rl
+        hi = p + rr
+        supp = (cpos >= lo[..., None]) & (cpos <= hi[..., None]) & found[..., None]
+        avail = avail & ~supp
+        edge_c = edge_c | ((klane == j[..., None]) & found[..., None])
+        return (
+            avail,
+            edge_c,
+            lo_t.at[it].set(lo),
+            hi_t.at[it].set(hi),
+            found_t.at[it].set(found),
         )
-        picked = picked | jnp.any(supp, axis=0)
-        is_best = pos[None] == best[..., None]
-        edge_sel = edge_sel | jnp.any(is_best & found[..., None], axis=0)
-        return picked, edge_sel
 
-    picked0 = jnp.zeros((R, C), bool)
-    edge0 = jnp.zeros((R, C), bool)
-    picked, edge_sel = jax.lax.fori_loop(
-        0, feat.max_edge_per_sector, pick_body, (picked0, edge0)
+    avail0 = cmask
+    edge_c0 = jnp.zeros((R, S, K), bool)
+    ztr = jnp.zeros((T, R, S), jnp.int32)
+    avail, edge_c, lo_t, hi_t, found_t = jax.lax.fori_loop(
+        0, T, pick_body, (avail0, edge_c0, ztr, ztr, jnp.zeros((T, R, S), bool))
     )
+
+    # --- Full-grid suppression mask via a difference array: each pick marks
+    # [lo, hi] clipped to its own sector's position span; everything marked
+    # is excluded from the surf cloud (matching the reference, which skips
+    # picked_points when emitting surfs, src/laserProcessingClass.cpp:198-205).
+    srange = jnp.arange(S, dtype=jnp.int32)[None, :]
+    sec_lo = h + srange * sector_len  # [R, S]
+    sec_hi = jnp.where(srange == S - 1, C - 1, h + (srange + 1) * sector_len - 1)
+    lo_c = jnp.clip(jnp.maximum(lo_t, sec_lo[None]), 0, C - 1)
+    hi_c = jnp.clip(jnp.minimum(hi_t, sec_hi[None]), 0, C - 1)
+    r_trs = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[None, :, None], (T, R, S))
+    fint = found_t.astype(jnp.int32)
+    diff = jnp.zeros((R, C + 1), jnp.int32)
+    diff = diff.at[r_trs, lo_c].add(fint)
+    diff = diff.at[r_trs, hi_c + 1].add(-fint)
+    picked = jnp.cumsum(diff[:, :C], axis=1) > 0
+
+    # --- Edge mask: scatter the picked candidates' positions.
+    r_rsk = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None, None], (R, S, K))
+    edge_sel = jnp.zeros((R, C), bool)
+    edge_sel = edge_sel.at[r_rsk, jnp.where(edge_c, cpos, C)].set(True, mode="drop")
 
     surf_sel = curv_valid & ~picked
     return FeatureResult(

@@ -51,13 +51,17 @@ def test_query_matches_bruteforce_within_gate():
     sq, rsq = np.asarray(res.sqdist), np.asarray(ref.sqdist)
     gated = rsq[:, 4] < 1.0
     assert gated.sum() > 30, f"setup should gate many queries ({gated.sum()})"
-    np.testing.assert_allclose(sq[gated], rsq[gated], rtol=1e-4, atol=1e-5)
+    # The kernel packs the lane index into the distance's low _IDX_BITS
+    # mantissa bits, so returned distances are truncated downward by up to
+    # 2^-10 relative — selection order and indices stay exact.
+    trunc = 2.0 ** -(23 - knn_tiled._IDX_BITS)
+    np.testing.assert_allclose(sq[gated], rsq[gated], rtol=2 * trunc, atol=1e-5)
     # indices point at the same coordinates (ties aside, distances must agree)
     mx = np.asarray(tmap.xyz)
     for qi in np.nonzero(gated)[0][:25]:
         for j in range(5):
             d = ((mx[res.idx[qi, j]] - q[qi]) ** 2).sum()
-            np.testing.assert_allclose(d, sq[qi, j], rtol=1e-4, atol=1e-5)
+            np.testing.assert_allclose(d, sq[qi, j], rtol=2 * trunc, atol=1e-5)
 
 
 def test_query_all_neighbors_beyond_halo():
@@ -102,5 +106,6 @@ def test_many_queries_per_tile_subtiling():
     )
     ref = knn_tiled.query_tiled_reference(tmap, jnp.array(q), jnp.array(qv))
     np.testing.assert_allclose(
-        np.asarray(res.sqdist), np.asarray(ref.sqdist), rtol=1e-4, atol=1e-5
+        # rtol: packed-key mantissa truncation (see _IDX_BITS in the kernel)
+        np.asarray(res.sqdist), np.asarray(ref.sqdist), rtol=2e-3, atol=1e-5
     )
