@@ -26,6 +26,13 @@ def main():
     ap.add_argument("--warmup", type=int, default=10)
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     ap.add_argument("--speed", type=float, default=1.5, help="meters per frame")
+    ap.add_argument(
+        "--mode",
+        default="es",
+        choices=("es", "bpf"),
+        help="es = ring-feature pipeline (headline metric); bpf = "
+        "ground-seg/DCVC/PCA beam-pillar-facade pipeline",
+    )
     args = ap.parse_args()
 
     import jax
@@ -35,7 +42,7 @@ def main():
     import jax.numpy as jnp
 
     from pfilter_tpu.config import kitti_config
-    from pfilter_tpu.pipeline import ESPipeline
+    from pfilter_tpu.pipeline import BPFPipeline, ESPipeline
     from pfilter_tpu.utils import metrics, synthetic
 
     cfg = kitti_config()
@@ -52,7 +59,10 @@ def main():
     # Async host loop: dispatch runs ahead of the device, diagnostics are
     # fetched with a lag — per-frame wall time is pure device throughput,
     # with host work and tunnel round trips hidden behind compute.
-    pipe = ESPipeline(cfg=cfg, sync=False, fetch_lag=4)
+    if args.mode == "bpf":
+        pipe = BPFPipeline(cfg=cfg.replace(mode="bpf"), sync=False, fetch_lag=4)
+    else:
+        pipe = ESPipeline(cfg=cfg, sync=False, fetch_lag=4)
     cap = cfg.capacity.scan_points
 
     def padded(xyz, valid):
@@ -91,7 +101,7 @@ def main():
     ate = metrics.ate_rmse(gt, est)
 
     result = {
-        "metric": "frames_per_sec_es64",
+        "metric": f"frames_per_sec_{args.mode}64",
         "value": round(fps, 3),
         "unit": "fps",
         "vs_baseline": round(fps / 10.0, 3),
@@ -100,11 +110,14 @@ def main():
         "drift_r_deg_per_m": round(drift["r_err_deg_per_m"], 6),
         "ate_rmse_m": round(ate, 4),
         "frames": args.frames,
-        "surf_map_size": pipe.records[-1].surf_map_size,
-        "edge_map_size": pipe.records[-1].edge_map_size,
         "total_wall_s": round(total_s, 2),
         "device": str(jax.devices()[0]),
     }
+    if args.mode == "es":
+        result["surf_map_size"] = pipe.records[-1].surf_map_size
+        result["edge_map_size"] = pipe.records[-1].edge_map_size
+    else:
+        result["map_sizes"] = [int(x) for x in pipe.records[-1].map_sizes]
     print(json.dumps(result))
 
 

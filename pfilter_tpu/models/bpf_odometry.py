@@ -40,6 +40,7 @@ class BPFState(NamedTuple):
 class BPFDiag(NamedTuple):
     n_corr: jnp.ndarray  # [3] per-channel correspondence counts
     map_sizes: jnp.ndarray  # [3]
+    dropped: jnp.ndarray = False  # device-side corrupt-frame guard fired
 
 
 def init_state(cfg: PipelineConfig) -> BPFState:
@@ -101,6 +102,25 @@ def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
     center = pred.t
     pose0 = se3.Pose(q=pred.q, t=jnp.zeros(3, jnp.float32))
 
+    # Tile-sort each feature cloud once per frame at the predicted pose and
+    # keep all downstream work in sorted order (see es_odometry.es_step).
+    bounds = {k: None for k in CHANNELS}
+    if cap.knn_impl == "tiled":
+        for kind in CHANNELS:
+            qs = map_state.sort_queries_for_index(
+                grids[kind],
+                se3.transform_points(pred, ds[kind].xyz),
+                ds[kind].valid,
+                cfg,
+                kind,
+            )
+            ds[kind] = voxel.PointSet(
+                xyz=ds[kind].xyz[qs.order],
+                rg=ds[kind].rg[qs.order],
+                valid=ds[kind].valid[qs.order],
+            )
+            bounds[kind] = qs.bounds
+
     # Map-size gate (ref: :722 — beam>10 && pillar>10 && facade>50).
     enough = (
         (grids["beam"].valid.sum() > 10)
@@ -127,6 +147,7 @@ def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
                 ds[kind].valid,
                 scan_rgs[i],
                 cfg,
+                qsort_bounds=bounds[kind],
             )
             assocs[kind] = a
             new_rgs.append(
@@ -167,6 +188,19 @@ def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
     )
     pose = se3.Pose(q=q, t=t_l + center)
 
+    # Device-side corrupt-frame guard (same as es_odometry.es_step).
+    finite = jnp.all(jnp.isfinite(pose.q)) & jnp.all(jnp.isfinite(pose.t))
+    jump = jnp.linalg.norm(jnp.where(finite, pose.t - state.pose.t, 0.0))
+    dropped = ~finite | (jump > o.max_jump_m)
+    pose = se3.Pose(
+        q=jnp.where(dropped, state.pose.q, pose.q),
+        t=jnp.where(dropped, state.pose.t, pose.t),
+    )
+    last_pose = se3.Pose(
+        q=jnp.where(dropped, state.last_pose.q, last_pose.q),
+        t=jnp.where(dropped, state.last_pose.t, last_pose.t),
+    )
+
     new_maps = {}
     for i, kind in enumerate(CHANNELS):
         world = se3.transform_points(pose, ds[kind].xyz)
@@ -192,6 +226,7 @@ def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
     diag = BPFDiag(
         n_corr=counts,
         map_sizes=jnp.stack([new_maps[k].valid.sum() for k in CHANNELS]),
+        dropped=dropped,
     )
     return new_state, diag
 

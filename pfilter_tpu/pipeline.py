@@ -196,12 +196,16 @@ class BPFPipeline:
     use_curved_filter: bool = True
     state: object = None
     records: list = field(default_factory=list)
+    sync: bool = True
+    fetch_lag: int = 4
+    n_dropped: int = 0
 
     def __post_init__(self):
         from pfilter_tpu.models import bpf_frontend, bpf_odometry
 
         cfg = self.cfg
         gf, cf = self.use_ground_filter, self.use_curved_filter
+        self._pending: list = []
 
         def _frontend(xyz, mask):
             fr = bpf_frontend.run_frontend(xyz, mask, cfg, gf, cf)
@@ -215,7 +219,8 @@ class BPFPipeline:
 
         self._frontend = jax.jit(_frontend)
         self._first = jax.jit(_first)
-        self._step = jax.jit(_step, donate_argnums=(0,))
+        # No donation: deferred fetches keep references to result buffers.
+        self._step = jax.jit(_step)
         self._bpf = bpf_odometry
 
     def _pad_scan(self, xyz: np.ndarray, valid: Optional[np.ndarray]):
@@ -227,7 +232,27 @@ class BPFPipeline:
         mask[:n] = True if valid is None else valid[:n]
         return jnp.asarray(out), jnp.asarray(mask)
 
-    def process_frame(self, xyz, valid=None) -> BPFFrameRecord:
+    def _drain_one(self):
+        t0, refs = self._pending.pop(0)
+        pose_q, pose_t, n_corr, map_sizes, dropped = jax.device_get(refs)
+        if bool(dropped):
+            self.n_dropped += 1
+        rec = BPFFrameRecord(
+            pose_q=pose_q,
+            pose_t=pose_t,
+            n_corr=np.asarray(n_corr),
+            map_sizes=np.asarray(map_sizes),
+            ms=(time.perf_counter() - t0) * 1e3,
+        )
+        self.records.append(rec)
+        return rec
+
+    def flush(self) -> list:
+        while self._pending:
+            self._drain_one()
+        return self.records
+
+    def process_frame(self, xyz, valid=None) -> Optional[BPFFrameRecord]:
         t0 = time.perf_counter()
         if isinstance(xyz, np.ndarray):
             xyz_d, mask_d = self._pad_scan(xyz, valid)
@@ -239,31 +264,38 @@ class BPFPipeline:
         if self.state is None:
             self.state = self._bpf.init_state(self.cfg)
             self.state = self._first(self.state, xyz_d, masks)
-            n_corr = np.zeros(3, np.int32)
-            map_sizes = np.array(
-                [
-                    int(self.state.beam_map.valid.sum()),
-                    int(self.state.pillar_map.valid.sum()),
-                    int(self.state.facade_map.valid.sum()),
-                ]
+            refs = (
+                self.state.pose.q,
+                self.state.pose.t,
+                jnp.zeros(3, jnp.int32),
+                jnp.stack(
+                    [
+                        self.state.beam_map.valid.sum(),
+                        self.state.pillar_map.valid.sum(),
+                        self.state.facade_map.valid.sum(),
+                    ]
+                ),
+                jnp.asarray(False),
             )
         else:
             self.state, diag = self._step(self.state, xyz_d, masks)
-            n_corr = np.asarray(diag.n_corr)
-            map_sizes = np.asarray(diag.map_sizes)
-        jax.block_until_ready(self.state.pose.t)
-        rec = BPFFrameRecord(
-            pose_q=np.asarray(self.state.pose.q),
-            pose_t=np.asarray(self.state.pose.t),
-            n_corr=n_corr,
-            map_sizes=map_sizes,
-            ms=(time.perf_counter() - t0) * 1e3,
-        )
-        self.records.append(rec)
+            refs = (
+                self.state.pose.q,
+                self.state.pose.t,
+                diag.n_corr,
+                diag.map_sizes,
+                diag.dropped,
+            )
+        self._pending.append((t0, refs))
+        rec = None
+        lag = 0 if self.sync else max(self.fetch_lag, 0)
+        while len(self._pending) > lag:
+            rec = self._drain_one()
         return rec
 
     @property
     def trajectory(self):
+        self.flush()
         q = np.stack([r.pose_q for r in self.records])
         t = np.stack([r.pose_t for r in self.records])
         return q, t
