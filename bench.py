@@ -111,6 +111,7 @@ def main():
         "ate_rmse_m": round(ate, 4),
         "frames": args.frames,
         "total_wall_s": round(total_s, 2),
+        "overflow_total": pipe.overflow_total,
         "device": str(jax.devices()[0]),
     }
     if args.mode == "es":

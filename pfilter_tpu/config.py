@@ -49,8 +49,18 @@ class FeatureConfig:
     min_ring_points: int = 131
     # Candidates kept per (ring, sector) for the pick-and-suppress loop; the
     # worst case consumed is max_edge_per_sector * (2*suppression_radius + 1)
-    # = 220, so 256 is exact for any input.
+    # = 220, so 256 is exact for any input.  Validated in __post_init__ so a
+    # YAML/CLI override of the pick params can't silently truncate edges.
     pick_candidates: int = 256
+
+    def __post_init__(self):
+        need = self.max_edge_per_sector * (2 * self.suppression_radius + 1)
+        if self.pick_candidates < need:
+            raise ValueError(
+                f"pick_candidates={self.pick_candidates} < worst-case consumption "
+                f"max_edge_per_sector*(2*suppression_radius+1)={need}; raise "
+                f"pick_candidates to keep the edge pick loop exact"
+            )
 
 
 @dataclass(frozen=True)
@@ -81,7 +91,12 @@ class OdometryConfig:
     inner_gn_iters: int = 4  # Ceres max_num_iterations (ref: :265)
     gn_damping: float = 1.0e-6  # small LM-style Tikhonov on the 6x6 system
     aging_increment: float = 2.0  # r += 2 per frame, cap 255 (ref: :634-646)
-    max_jump_m: float = 10.0  # per-frame pose jump marking a corrupt frame (fault tolerance)
+    # Per-frame pose jump marking a corrupt frame (fault tolerance).  Note:
+    # the tiled kNN path sorts queries once per frame at the *predicted* pose
+    # and its 3x3-tile halo absorbs ~3 m of refinement; a frame whose GN
+    # correction approaches max_jump_m degrades neighbor completeness before
+    # the guard fires.  FrameDiag.n_halo_escape counts such queries.
+    max_jump_m: float = 10.0
     observe_saturate_ratio: float = 5.0  # observe/round > 5 -> observe = 255 (ref: :348)
     counter_cap: float = 255.0
 
@@ -100,7 +115,9 @@ class CapacityConfig:
     surf_map_points: int = 262144
     knn_cells: int = 256  # kNN grid cells per axis (1 m cells, covers +-128 m)
     knn_cell_size: float = 1.0
-    knn_candidates_per_cell: int = 16
+    # Exactness bound: a 1 m cell intersects <= (floor(1/leaf)+1)^3 voxels of
+    # a leaf-downsampled map = 27 at the edge map's 0.4 m leaf (ops/knn.py).
+    knn_candidates_per_cell: int = 32
     knn_k: int = 5
     # kNN implementation: "tiled" = Pallas tiled brute-force kernel (fast on
     # TPU, see ops/knn_tiled.py); "grid" = XLA searchsorted voxel grid.
@@ -109,7 +126,6 @@ class CapacityConfig:
     tile_cells: int = 4  # tile edge in 1 m cells (4 m tiles)
     edge_tile_cap: int = 256  # max edge-map points per tile
     surf_tile_cap: int = 512  # max surf-map points per tile
-    tile_query_cap: int = 64  # query subtile rows per kernel step
 
 
 @dataclass(frozen=True)

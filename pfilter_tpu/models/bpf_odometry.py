@@ -41,6 +41,9 @@ class BPFDiag(NamedTuple):
     n_corr: jnp.ndarray  # [3] per-channel correspondence counts
     map_sizes: jnp.ndarray  # [3]
     dropped: jnp.ndarray = False  # device-side corrupt-frame guard fired
+    # [3, 4] int32 per-channel overflow counters:
+    # [compact_over, ds_voxel_over, merge_voxel_over, tile_cap_over]
+    overflow: jnp.ndarray = 0
 
 
 def init_state(cfg: PipelineConfig) -> BPFState:
@@ -88,12 +91,15 @@ def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
 
     grids = {"beam": state.beam_map, "pillar": state.pillar_map, "facade": state.facade_map}
     ds = {}
+    over_compact = {}
+    over_ds = {}
     for kind in CHANNELS:
         line = map_state.is_line_kind(kind)
         comp_cap = cap.edge_points if line else cap.surf_points
         ds_cap = cap.ds_edge_points if line else cap.ds_surf_points
         cxyz, cvalid = _compact(xyz, masks[kind], comp_cap)
-        ds[kind] = voxel.voxel_downsample_rgbds(
+        over_compact[kind] = jnp.maximum(masks[kind].sum() - comp_cap, 0)
+        ds[kind], over_ds[kind] = voxel.voxel_downsample_rgbds_counted(
             voxel.PointSet(cxyz, jnp.zeros((comp_cap, 2), jnp.float32), cvalid),
             _leaf(cfg, kind),
             ds_cap,
@@ -202,9 +208,10 @@ def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
     )
 
     new_maps = {}
+    over_rows = []
     for i, kind in enumerate(CHANNELS):
         world = se3.transform_points(pose, ds[kind].xyz)
-        new_maps[kind] = map_state.merge_scan_into_index(
+        new_maps[kind], over_merge = map_state.merge_scan_into_index(
             grids[kind]._replace(rg=rgs[i]),
             world,
             scan_rgs[i],
@@ -213,6 +220,16 @@ def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
             _leaf(cfg, kind),
             cfg,
             kind,
+        )
+        over_rows.append(
+            jnp.stack(
+                [
+                    over_compact[kind],
+                    over_ds[kind],
+                    over_merge,
+                    map_state.tile_overflow_count(new_maps[kind], cfg, kind),
+                ]
+            )
         )
 
     new_state = BPFState(
@@ -227,6 +244,7 @@ def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
         n_corr=counts,
         map_sizes=jnp.stack([new_maps[k].valid.sum() for k in CHANNELS]),
         dropped=dropped,
+        overflow=jnp.stack(over_rows).astype(jnp.int32),
     )
     return new_state, diag
 

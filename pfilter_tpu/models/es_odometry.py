@@ -50,12 +50,40 @@ class ESState(NamedTuple):
     opt_count: jnp.ndarray  # [] int32
 
 
+# Lanes of FrameDiag.overflow — every fixed capacity that can silently drop
+# points gets a counter (the reference's dynamic containers cannot overflow;
+# our static shapes must be observable, VERDICT r1 missing #7):
+#   0 edge_compact     extracted edge features beyond capacity.edge_points
+#   1 surf_compact     extracted surf features beyond capacity.surf_points
+#   2 ds_edge_voxel    downsampled-scan voxels beyond ds_edge_points
+#   3 ds_surf_voxel    downsampled-scan voxels beyond ds_surf_points
+#   4 edge_merge_voxel map voxels beyond edge_map_points at merge
+#   5 surf_merge_voxel map voxels beyond surf_map_points at merge
+#   6 tile_cap_over    map points beyond their kNN tile cap (truncation risk)
+#   7 halo_escape      queries whose final pose left their sorted tile's halo
+OVERFLOW_LANES = (
+    "edge_compact",
+    "surf_compact",
+    "ds_edge_voxel",
+    "ds_surf_voxel",
+    "edge_merge_voxel",
+    "surf_merge_voxel",
+    "tile_cap_over",
+    "halo_escape",
+)
+
+
 class FrameDiag(NamedTuple):
     n_edge_corr: jnp.ndarray
     n_surf_corr: jnp.ndarray
     edge_map_size: jnp.ndarray
     surf_map_size: jnp.ndarray
     dropped: jnp.ndarray = False  # device-side corrupt-frame guard fired
+    overflow: jnp.ndarray = 0  # [8] int32 counters, lanes in OVERFLOW_LANES
+
+
+def zero_overflow() -> jnp.ndarray:
+    return jnp.zeros(len(OVERFLOW_LANES), jnp.int32)
 
 
 def init_state(cfg: PipelineConfig) -> ESState:
@@ -192,6 +220,32 @@ def _associate(
     )
 
 
+def _halo_escape_count(
+    q_world: jnp.ndarray,
+    q_valid: jnp.ndarray,
+    bounds: jnp.ndarray,
+    origin: jnp.ndarray,
+    cfg: PipelineConfig,
+    kind: str,
+) -> jnp.ndarray:
+    """Count tile-sorted queries whose (final) world position lies more than
+    one tile away from the tile they were sorted into — for those, the kNN
+    halo no longer covers the 1 m gate ball and neighbors may be missed."""
+    nt, tc, _ = map_state._tile_params(cfg, kind)
+    ts = float(tc)
+    q = q_world.shape[0]
+    p = jnp.arange(q, dtype=jnp.int32)
+    tid_s = jnp.clip(jnp.searchsorted(bounds, p, side="right") - 1, 0, nt * nt - 1)
+    tx_s, ty_s = tid_s // nt, tid_s % nt
+    t2 = jnp.clip(
+        jnp.floor((q_world[:, :2] - origin[:2]) / ts).astype(jnp.int32), 1, nt - 2
+    )
+    escaped = q_valid & (
+        (jnp.abs(t2[:, 0] - tx_s) > 1) | (jnp.abs(t2[:, 1] - ty_s) > 1)
+    )
+    return escaped.sum().astype(jnp.int32)
+
+
 def _weights(assoc: _Assoc, weight_type: int) -> jnp.ndarray:
     """Residual weights by weightType (ref: :389-426, :536-571).  Applied to
     both residual and Jacobian (consistent IRLS; the reference scales only
@@ -224,12 +278,14 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
     # at 2x — the same leaf sizes as the map rgbds).
     e_xyz, e_valid = _compact(feat.xyz, feat.edge_mask, cap.edge_points)
     s_xyz, s_valid = _compact(feat.xyz, feat.surf_mask, cap.surf_points)
-    ds_edge = voxel.voxel_downsample_rgbds(
+    over_e_compact = jnp.maximum(feat.edge_mask.sum() - cap.edge_points, 0)
+    over_s_compact = jnp.maximum(feat.surf_mask.sum() - cap.surf_points, 0)
+    ds_edge, over_ds_e = voxel.voxel_downsample_rgbds_counted(
         voxel.PointSet(e_xyz, jnp.zeros((cap.edge_points, 2), jnp.float32), e_valid),
         o.map_resolution,
         cap.ds_edge_points,
     )
-    ds_surf = voxel.voxel_downsample_rgbds(
+    ds_surf, over_ds_s = voxel.voxel_downsample_rgbds_counted(
         voxel.PointSet(s_xyz, jnp.zeros((cap.surf_points, 2), jnp.float32), s_valid),
         o.map_resolution * 2.0,
         cap.ds_surf_points,
@@ -369,7 +425,7 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
     # Map merge (ref addPointsToMap, :589-647) in world coords.
     edge_world = se3.transform_points(pose, ds_edge.xyz)
     surf_world = se3.transform_points(pose, ds_surf.xyz)
-    new_edge = map_state.merge_scan_into_index(
+    new_edge, over_me = map_state.merge_scan_into_index(
         edge_grid._replace(rg=e_rg),
         edge_world,
         se_rg,
@@ -379,7 +435,7 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
         cfg,
         "edge",
     )
-    new_surf = map_state.merge_scan_into_index(
+    new_surf, over_ms = map_state.merge_scan_into_index(
         surf_grid._replace(rg=s_rg),
         surf_world,
         ss_rg,
@@ -389,6 +445,34 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
         cfg,
         "surf",
     )
+    over_tile = map_state.tile_overflow_count(
+        new_edge, cfg, "edge"
+    ) + map_state.tile_overflow_count(new_surf, cfg, "surf")
+
+    # Halo-escape check (ADVICE r1): the per-frame tile sort is exact only
+    # while the refined pose keeps each query within its sorted tile's 3x3
+    # halo; count queries whose *final* world position drifted further.
+    if e_bounds is not None:
+        over_halo = _halo_escape_count(
+            edge_world, ds_edge.valid, e_bounds, edge_grid.origin, cfg, "edge"
+        ) + _halo_escape_count(
+            surf_world, ds_surf.valid, s_bounds, surf_grid.origin, cfg, "surf"
+        )
+    else:
+        over_halo = jnp.asarray(0, jnp.int32)
+
+    overflow = jnp.stack(
+        [
+            over_e_compact,
+            over_s_compact,
+            over_ds_e,
+            over_ds_s,
+            over_me,
+            over_ms,
+            over_tile,
+            over_halo,
+        ]
+    ).astype(jnp.int32)
 
     new_state = ESState(
         edge_map=new_edge,
@@ -403,5 +487,6 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
         edge_map_size=new_edge.valid.sum(),
         surf_map_size=new_surf.valid.sum(),
         dropped=dropped,
+        overflow=overflow,
     )
     return new_state, diag

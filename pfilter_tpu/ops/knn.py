@@ -16,8 +16,12 @@ neighboring cells via vectorized binary search + top-k:
 Exactness: correspondences are gated on 5th-NN sq-distance < 1.0
 (ref: src/odomEstimationClass.cpp:300), and every point within 1.0 m of a
 query lies in its 27-cell neighborhood at cell_size >= 1.0, so gated results
-match exact KNN unless a single cell holds more than ``candidates_per_cell``
-map points (not reachable at the map's voxel resolutions).
+match exact KNN as long as no single cell holds more than
+``candidates_per_cell`` map points.  The map is voxel-downsampled at leaf
+``L`` (one point per voxel), and a cell of size ``C`` intersects at most
+``(floor(C/L) + 1)^3`` voxels per axis-product — 27 for C=1 m, L=0.4 m (edge
+maps), 8 for L=0.8 m (surf maps) — so ``candidates_per_cell=32`` makes the
+query exact for every map the engine builds (enforced in knn_query).
 """
 
 from __future__ import annotations

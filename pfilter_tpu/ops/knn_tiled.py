@@ -352,6 +352,15 @@ def query_tiled_sorted(
     q = sq_world.shape[0]
     nt2 = nt * nt
     w = 3 * tile_cap
+    # The packed (distance | lane) key ORs halo lane ids into the low
+    # _IDX_BITS bits; lanes run up to 3*(w + _ALIGN) - 1, so a too-large
+    # tile_cap would silently corrupt distance bits.  Fail loudly instead.
+    if 3 * (w + _ALIGN) > (1 << _IDX_BITS):
+        raise ValueError(
+            f"tile_cap={tile_cap} overflows the packed kNN key: "
+            f"3*(3*tile_cap + {_ALIGN}) = {3 * (w + _ALIGN)} > {1 << _IDX_BITS}; "
+            f"max supported tile_cap is {((1 << _IDX_BITS) // 3 - _ALIGN) // 3}"
+        )
 
     # Raw compact query tensor [4, Q+2*ALIGN] — augmentation happens in-kernel
     # after per-tile recentering.
@@ -422,7 +431,7 @@ def query_tiled_sorted(
 
 
 @functools.partial(
-    jax.jit, static_argnames=("nt", "tile_cells", "tile_cap", "tqc", "k", "interpret")
+    jax.jit, static_argnames=("nt", "tile_cells", "tile_cap", "k", "interpret")
 )
 def query_tiled(
     tmap: TiledMap,
@@ -431,14 +440,12 @@ def query_tiled(
     nt: int,
     tile_cells: int,
     tile_cap: int,
-    tqc: int = _TQC,  # unused; kept for API compat
     k: int = 5,
     interpret: bool = False,
 ) -> TiledKnnResult:
     """Convenience wrapper: sort queries, run the kernel, unsort results.
     Pipelines that query repeatedly should use sort_queries +
     query_tiled_sorted and keep their arrays in sorted order."""
-    del tqc
     qs = sort_queries(q_xyz, q_valid, tmap.origin, nt, tile_cells)
     res = query_tiled_sorted(
         tmap, q_xyz[qs.order], qs.bounds, nt, tile_cells, tile_cap, k=k, interpret=interpret

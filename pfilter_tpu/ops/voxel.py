@@ -96,9 +96,9 @@ def spatial_hash(xyz: jnp.ndarray, leaf: float) -> jnp.ndarray:
     return h & 0x7FFFFFFF
 
 
-def voxel_downsample_rgbds(
+def voxel_downsample_rgbds_counted(
     points: PointSet, leaf: float, out_cap: int, anchor_t=None
-) -> PointSet:
+):
     """Per-voxel centroid + max-r + max-g downsample (ref rgbds,
     src/odomEstimationClass.cpp:34-134).
 
@@ -106,6 +106,11 @@ def voxel_downsample_rgbds(
     ascending voxel-id order.  If the number of occupied voxels exceeds
     ``out_cap``, the highest-id voxels are dropped (capacity should be sized
     so this never binds; see CapacityConfig).
+
+    Returns ``(PointSet, n_dropped)`` where ``n_dropped`` is the number of
+    occupied voxels that did NOT fit in ``out_cap`` — the silent-truncation
+    counter surfaced in FrameDiag.overflow (the reference's dynamic
+    containers cannot overflow; fixed capacities must be observable).
     """
     if anchor_t is None:
         ids = voxel_ids_dynamic(points.xyz, points.valid, leaf)
@@ -119,6 +124,8 @@ def voxel_downsample_rgbds(
 
     head = jnp.concatenate([jnp.ones(1, bool), sid[1:] != sid[:-1]])
     seg = jnp.cumsum(head.astype(jnp.int32)) - 1
+    n_occupied = jnp.max(jnp.where(svalid, seg, -1)) + 1
+    n_dropped = jnp.maximum(n_occupied - out_cap, 0)
     # Invalid points (sentinel id, sorted last) are routed out of range.
     seg = jnp.where(svalid, seg, out_cap)
 
@@ -136,7 +143,15 @@ def voxel_downsample_rgbds(
     out_valid = cnt > 0
     centroid = sums / jnp.maximum(cnt, 1.0)[:, None]
     rg = jnp.where(out_valid[:, None], rg_max, 0.0)
-    return PointSet(xyz=centroid, rg=rg, valid=out_valid)
+    return PointSet(xyz=centroid, rg=rg, valid=out_valid), n_dropped
+
+
+def voxel_downsample_rgbds(
+    points: PointSet, leaf: float, out_cap: int, anchor_t=None
+) -> PointSet:
+    """See :func:`voxel_downsample_rgbds_counted`; drops the overflow count."""
+    ds, _ = voxel_downsample_rgbds_counted(points, leaf, out_cap, anchor_t)
+    return ds
 
 
 def crop_box(points: PointSet, center: jnp.ndarray, half_extent: float) -> PointSet:

@@ -18,13 +18,24 @@ feature type, src/odomEstimationClass.cpp:182-647) becomes
   BASELINE.json configs) run in lockstep, one per mesh row, with no
   cross-sequence communication.
 
+Two shard-local kNN implementations (cfg.capacity.knn_impl):
+
+- ``"tiled"`` (default): each shard keeps its owned points in a Pallas
+  tile-sorted map (ops/knn_tiled) — the same speed-of-light kernel as the
+  single-chip path, run per shard with capacity // n_map points.  Queries are
+  tile-sorted once per frame (replicated — the sort depends only on the
+  predicted pose), so every shard's result rows align for the all_gather
+  merge.  Map maintenance uses the fused sort (models/map_state).
+- ``"grid"``: XLA searchsorted voxel grid (ops/knn) — no Pallas, useful for
+  debugging and platforms without Mosaic.
+
 With ``n_map == 1`` this reduces to the single-chip pipeline exactly (modulo
-fp reduction order); tests assert trajectory equivalence.
+the fp reduction order of the all_gather/top_k merge); tests assert
+trajectory equivalence.
 """
 
 from __future__ import annotations
 
-from functools import partial
 from typing import NamedTuple
 
 import jax
@@ -33,12 +44,16 @@ from jax import lax
 from jax.sharding import PartitionSpec as P
 
 from pfilter_tpu.config import PipelineConfig
-from pfilter_tpu.models import es_odometry
+from pfilter_tpu.models import es_odometry, map_state
 from pfilter_tpu.ops import features as fops
 from pfilter_tpu.ops import gauss_newton as gn
-from pfilter_tpu.ops import knn, se3, voxel
+from pfilter_tpu.ops import knn, knn_tiled, se3, voxel
 
 MAP_AXIS = "map"
+
+
+def _use_tiled(cfg: PipelineConfig) -> bool:
+    return cfg.capacity.knn_impl == "tiled"
 
 
 # ---------------------------------------------------------------------------
@@ -46,7 +61,8 @@ MAP_AXIS = "map"
 # ---------------------------------------------------------------------------
 
 
-def grid_specs():
+def grid_map_specs():
+    """HashGrid maps: global arrays [n_seq, CAP, ...] split along CAP."""
     return knn.HashGrid(
         xyz=P("seq", MAP_AXIS, None),
         rg=P("seq", MAP_AXIS, None),
@@ -57,11 +73,27 @@ def grid_specs():
     )
 
 
-def state_specs():
+def tiled_map_specs():
+    """TiledMap maps: every leaf carries an explicit [n_seq, n_map, ...]
+    prefix (the per-shard arrays are heterogeneous in meaning — slot ranges,
+    transposed pads — so an implicit capacity split cannot express them)."""
+    return knn_tiled.TiledMap(
+        xyz=P("seq", MAP_AXIS, None, None),
+        rg=P("seq", MAP_AXIS, None, None),
+        valid=P("seq", MAP_AXIS, None),
+        xyz_t=P("seq", MAP_AXIS, None, None),
+        tile_start=P("seq", MAP_AXIS, None),
+        origin=P("seq", MAP_AXIS, None),
+    )
+
+
+def state_specs(cfg: PipelineConfig = None):
+    tiled = cfg is not None and _use_tiled(cfg)
+    mspec = tiled_map_specs() if tiled else grid_map_specs()
     pose = se3.Pose(q=P("seq", None), t=P("seq", None))
     return es_odometry.ESState(
-        edge_map=grid_specs(),
-        surf_map=grid_specs(),
+        edge_map=mspec,
+        surf_map=mspec,
         pose=pose,
         last_pose=pose,
         opt_count=P("seq"),
@@ -86,6 +118,36 @@ def _unsqueeze0(tree):
     return jax.tree.map(lambda x: x[None], tree)
 
 
+def _squeeze_state(state, tiled: bool):
+    """Block-local view: drop the seq dim everywhere and the shard dim from
+    tiled map leaves (tiled maps arrive as [1, 1, ...] per block)."""
+    if not tiled:
+        return _squeeze0(state)
+    return state._replace(
+        edge_map=jax.tree.map(lambda x: x[0, 0], state.edge_map),
+        surf_map=jax.tree.map(lambda x: x[0, 0], state.surf_map),
+        pose=_squeeze0(state.pose),
+        last_pose=_squeeze0(state.last_pose),
+        opt_count=state.opt_count[0],
+    )
+
+
+def _unsqueeze_state(state, tiled: bool):
+    if not tiled:
+        return _unsqueeze0(state)
+    return state._replace(
+        edge_map=jax.tree.map(lambda x: x[None, None], state.edge_map),
+        surf_map=jax.tree.map(lambda x: x[None, None], state.surf_map),
+        pose=_unsqueeze0(state.pose),
+        last_pose=_unsqueeze0(state.last_pose),
+        opt_count=state.opt_count[None],
+    )
+
+
+def _local_capacity(cfg: PipelineConfig, kind: str, n_map: int) -> int:
+    return map_state.map_capacity(cfg, kind) // n_map
+
+
 class _ShardAssoc(NamedTuple):
     points: jnp.ndarray  # [Qs,3] scan points (sensor frame), my query slice
     geom_a: jnp.ndarray  # [Qs,3]
@@ -98,8 +160,20 @@ class _ShardAssoc(NamedTuple):
 
 
 def _sharded_associate(
-    kind, grid, map_rg, pose_l, center, scan_xyz, scan_valid, scan_rg, cfg, n_map
+    kind,
+    grid,
+    map_rg,
+    pose_l,
+    center,
+    scan_xyz,
+    scan_valid,
+    scan_rg,
+    cfg,
+    n_map,
+    qsort_bounds=None,
 ):
+    """One collective correspondence pass.  ``scan_xyz`` must already be in
+    tile-sorted order when ``qsort_bounds`` is given (tiled impl)."""
     o, c = cfg.odometry, cfg.capacity
     k = c.knn_k
     q = scan_xyz.shape[0]
@@ -108,13 +182,20 @@ def _sharded_associate(
 
     # 1. shard-local 5-NN over the full query set
     q_world = se3.transform_points(pose_l, scan_xyz) + center
-    res = knn.knn_query(grid, q_world, scan_valid, k, c.knn_candidates_per_cell)
-    nxyz = grid.xyz[res.idx]  # [Q,5,3]
-    nrg = map_rg[res.idx]  # [Q,5,2]
+    if qsort_bounds is not None:
+        nn_idx, nn_sq = map_state.query_index_presorted(
+            grid, q_world, qsort_bounds, cfg, kind
+        )
+        nn_sq = jnp.where(scan_valid[:, None], nn_sq, jnp.inf)
+    else:
+        res = knn.knn_query(grid, q_world, scan_valid, k, c.knn_candidates_per_cell)
+        nn_idx, nn_sq = res.idx, res.sqdist
+    nxyz = grid.xyz[nn_idx]  # [Q,5,3]
+    nrg = map_rg[nn_idx]  # [Q,5,2]
 
     # 2. exact global 5-NN: all_gather shard candidates, merge by distance
     g_sq, g_xyz, g_rg, g_idx = lax.all_gather(
-        (res.sqdist, nxyz, nrg, res.idx), MAP_AXIS
+        (nn_sq, nxyz, nrg, nn_idx), MAP_AXIS
     )  # leading axis n_map
     comb_sq = jnp.moveaxis(g_sq, 0, 1).reshape(q, n_map * k)
     comb_xyz = jnp.moveaxis(g_xyz, 0, 1).reshape(q, n_map * k, 3)
@@ -137,7 +218,7 @@ def _sharded_associate(
 
     gate = sq5_s[:, k - 1] < o.nn_gate_sq
     neigh = xyz5_s - center
-    if kind == "edge":
+    if map_state.is_line_kind(kind):
         pa, pb, fit_ok = gn.fit_lines(neigh, o.line_eig_ratio, o.line_half_length)
         geom_a, geom_b = pa, pb
     else:
@@ -211,40 +292,52 @@ def _sharded_weights(assoc: _ShardAssoc, weight_type: int):
     raise ValueError(weight_type)
 
 
-def _sharded_merge(grid, scan_world, scan_rg, scan_valid, pose_t, leaf, o, cap_local, cell, n_map):
+def _sharded_merge(
+    grid, scan_world, scan_rg, scan_valid, pose_t, leaf, cfg, kind, n_map
+):
     """Per-shard map merge: adopt owned scan points, then local
-    crop -> rgbds (absolute anchor) -> evict -> age -> re-sort."""
+    crop -> rgbds (absolute voxel boundaries) -> evict -> age -> re-sort.
+    The fused tiled merge already uses absolute boundaries; the grid path
+    anchors the rgbds window at the pose so all shards agree on voxels."""
+    o = cfg.odometry
     me = lax.axis_index(MAP_AXIS)
     own = (voxel.spatial_hash(scan_world, leaf) % n_map) == me
+    cap_local = _local_capacity(cfg, kind, n_map)
+    if _use_tiled(cfg):
+        return map_state.merge_scan_into_index(
+            grid, scan_world, scan_rg, scan_valid & own, pose_t, leaf, cfg, kind,
+            capacity=cap_local,
+        )
+    cell = cfg.capacity.knn_cell_size
     combined = voxel.concat_pointsets(
         voxel.PointSet(grid.xyz, grid.rg, grid.valid),
         voxel.PointSet(scan_world, scan_rg, scan_valid & own),
     )
     combined = voxel.crop_box(combined, pose_t, o.crop_half_extent)
-    ds = voxel.voxel_downsample_rgbds(combined, leaf, out_cap=cap_local, anchor_t=pose_t)
+    ds, n_dropped = voxel.voxel_downsample_rgbds_counted(
+        combined, leaf, out_cap=cap_local, anchor_t=pose_t
+    )
     ds = voxel.evict_unstable(ds, o.k_new, o.theta_p, o.theta_max)
     ds = voxel.age_points(ds, o.aging_increment, o.counter_cap)
     origin = knn.grid_origin_for_pose(pose_t, cell)
-    return knn.build_grid(ds.xyz, ds.rg, ds.valid, origin, cell)
+    return knn.build_grid(ds.xyz, ds.rg, ds.valid, origin, cell), n_dropped
 
 
 def _first_frame_block(state, feat, cfg: PipelineConfig, n_map: int):
     """Sharded initMapWithPoints: each shard adopts its hash-owned features."""
-    cap = cfg.capacity
     o = cfg.odometry
-    cell = cap.knn_cell_size
     me = lax.axis_index(MAP_AXIS)
 
-    def seed(mask, leaf, cap_local):
+    def seed(mask, leaf, kind):
+        cap_local = _local_capacity(cfg, kind, n_map)
         own = (voxel.spatial_hash(feat.xyz, leaf) % n_map) == me
         xyz, valid = es_odometry._compact(feat.xyz, mask & own, cap_local)
         rg = jnp.zeros((cap_local, 2), jnp.float32)
-        origin = knn.grid_origin_for_pose(state.pose.t, cell)
-        return knn.build_grid(xyz, rg, valid, origin, cell)
+        return map_state.build_index(xyz, rg, valid, state.pose.t, cfg, kind)
 
     return state._replace(
-        edge_map=seed(feat.edge_mask, o.map_resolution, cap.edge_map_points // n_map),
-        surf_map=seed(feat.surf_mask, o.map_resolution * 2.0, cap.surf_map_points // n_map),
+        edge_map=seed(feat.edge_mask, o.map_resolution, "edge"),
+        surf_map=seed(feat.surf_mask, o.map_resolution * 2.0, "surf"),
         opt_count=jnp.asarray(cfg.odometry.max_outer_iters, jnp.int32),
     )
 
@@ -253,6 +346,7 @@ def _es_step_block(state, feat, cfg: PipelineConfig, n_map: int):
     """One sharded odometry frame — the distributed twin of
     models.es_odometry.es_step (same structure, collective association)."""
     o, cap = cfg.odometry, cfg.capacity
+    tiled = _use_tiled(cfg)
 
     opt_count = jnp.maximum(o.min_outer_iters, state.opt_count - 1)
     pred = se3.constant_velocity_predict(state.pose, state.last_pose)
@@ -260,12 +354,12 @@ def _es_step_block(state, feat, cfg: PipelineConfig, n_map: int):
 
     e_xyz, e_valid = es_odometry._compact(feat.xyz, feat.edge_mask, cap.edge_points)
     s_xyz, s_valid = es_odometry._compact(feat.xyz, feat.surf_mask, cap.surf_points)
-    ds_edge = voxel.voxel_downsample_rgbds(
+    ds_edge, over_ds_e = voxel.voxel_downsample_rgbds_counted(
         voxel.PointSet(e_xyz, jnp.zeros((cap.edge_points, 2), jnp.float32), e_valid),
         o.map_resolution,
         cap.ds_edge_points,
     )
-    ds_surf = voxel.voxel_downsample_rgbds(
+    ds_surf, over_ds_s = voxel.voxel_downsample_rgbds_counted(
         voxel.PointSet(s_xyz, jnp.zeros((cap.surf_points, 2), jnp.float32), s_valid),
         o.map_resolution * 2.0,
         cap.ds_surf_points,
@@ -280,15 +374,40 @@ def _es_step_block(state, feat, cfg: PipelineConfig, n_map: int):
     enough = (edge_count > 10) & (surf_count > 50)
     opt_eff = jnp.where(enough, opt_count, 0)
 
+    # Tile-sort each feature cloud ONCE per frame at the predicted pose (see
+    # es_odometry.es_step).  The sort depends only on the shared origin, so
+    # every shard computes the identical order — all_gather rows align.
+    e_bounds = s_bounds = None
+    if tiled:
+        e_sort = map_state.sort_queries_for_index(
+            edge_grid, se3.transform_points(pred, ds_edge.xyz), ds_edge.valid, cfg, "edge"
+        )
+        s_sort = map_state.sort_queries_for_index(
+            surf_grid, se3.transform_points(pred, ds_surf.xyz), ds_surf.valid, cfg, "surf"
+        )
+        ds_edge = voxel.PointSet(
+            xyz=ds_edge.xyz[e_sort.order],
+            rg=ds_edge.rg[e_sort.order],
+            valid=ds_edge.valid[e_sort.order],
+        )
+        ds_surf = voxel.PointSet(
+            xyz=ds_surf.xyz[s_sort.order],
+            rg=ds_surf.rg[s_sort.order],
+            valid=ds_surf.valid[s_sort.order],
+        )
+        e_bounds, s_bounds = e_sort.bounds, s_sort.bounds
+
     def outer_body(carry):
         q, t_l, e_rg, s_rg, se_rg, ss_rg, _, _, it = carry
         pose_l = se3.Pose(q=q, t=t_l)
 
         ea = _sharded_associate(
-            "edge", edge_grid, e_rg, pose_l, center, ds_edge.xyz, ds_edge.valid, se_rg, cfg, n_map
+            "edge", edge_grid, e_rg, pose_l, center, ds_edge.xyz, ds_edge.valid,
+            se_rg, cfg, n_map, qsort_bounds=e_bounds,
         )
         sa = _sharded_associate(
-            "surf", surf_grid, s_rg, pose_l, center, ds_surf.xyz, ds_surf.valid, ss_rg, cfg, n_map
+            "surf", surf_grid, s_rg, pose_l, center, ds_surf.xyz, ds_surf.valid,
+            ss_rg, cfg, n_map, qsort_bounds=s_bounds,
         )
         e_rg = e_rg.at[:, 1].set(ea.map_g_new)
         s_rg = s_rg.at[:, 1].set(sa.map_g_new)
@@ -350,14 +469,39 @@ def _es_step_block(state, feat, cfg: PipelineConfig, n_map: int):
 
     edge_world = se3.transform_points(pose, ds_edge.xyz)
     surf_world = se3.transform_points(pose, ds_surf.xyz)
-    new_edge = _sharded_merge(
+    new_edge, over_me = _sharded_merge(
         edge_grid._replace(rg=e_rg), edge_world, se_rg, ds_edge.valid,
-        pose.t, o.map_resolution, o, cap.edge_map_points // n_map, cap.knn_cell_size, n_map,
+        pose.t, o.map_resolution, cfg, "edge", n_map,
     )
-    new_surf = _sharded_merge(
+    new_surf, over_ms = _sharded_merge(
         surf_grid._replace(rg=s_rg), surf_world, ss_rg, ds_surf.valid,
-        pose.t, o.map_resolution * 2.0, o, cap.surf_map_points // n_map, cap.knn_cell_size, n_map,
+        pose.t, o.map_resolution * 2.0, cfg, "surf", n_map,
     )
+    over_tile = map_state.tile_overflow_count(
+        new_edge, cfg, "edge"
+    ) + map_state.tile_overflow_count(new_surf, cfg, "surf")
+    if e_bounds is not None:
+        over_halo = es_odometry._halo_escape_count(
+            edge_world, ds_edge.valid, e_bounds, edge_grid.origin, cfg, "edge"
+        ) + es_odometry._halo_escape_count(
+            surf_world, ds_surf.valid, s_bounds, surf_grid.origin, cfg, "surf"
+        )
+    else:
+        over_halo = jnp.asarray(0, jnp.int32)
+    # Merge/tile lanes are shard-local -> psum; compact/ds/halo lanes are
+    # computed on replicated data -> already global.
+    overflow = jnp.stack(
+        [
+            jnp.maximum(feat.edge_mask.sum() - cap.edge_points, 0),
+            jnp.maximum(feat.surf_mask.sum() - cap.surf_points, 0),
+            over_ds_e,
+            over_ds_s,
+            lax.psum(over_me, MAP_AXIS),
+            lax.psum(over_ms, MAP_AXIS),
+            lax.psum(over_tile, MAP_AXIS),
+            over_halo,
+        ]
+    ).astype(jnp.int32)
 
     new_state = es_odometry.ESState(
         edge_map=new_edge,
@@ -372,6 +516,7 @@ def _es_step_block(state, feat, cfg: PipelineConfig, n_map: int):
         edge_map_size=lax.psum(new_edge.valid.sum(), MAP_AXIS),
         surf_map_size=lax.psum(new_surf.valid.sum(), MAP_AXIS),
         dropped=dropped,
+        overflow=overflow,
     )
     return new_state, diag
 
@@ -381,34 +526,48 @@ def _es_step_block(state, feat, cfg: PipelineConfig, n_map: int):
 # ---------------------------------------------------------------------------
 
 
-def _force_grid_impl(cfg: PipelineConfig) -> PipelineConfig:
-    """The sharded path uses the XLA voxel-grid index (shard-local searchsorted);
-    the Pallas tiled kernel is single-chip for now."""
-    import dataclasses
+def init_sharded_state(cfg: PipelineConfig, n_seq: int, n_map: int = 1):
+    """Batched empty state (leading seq dim).  Shard with state_specs(cfg).
 
-    if cfg.capacity.knn_impl == "grid":
-        return cfg
-    return cfg.replace(capacity=dataclasses.replace(cfg.capacity, knn_impl="grid"))
+    For the tiled impl the per-shard map arrays are built explicitly at
+    capacity // n_map with an [n_seq, n_map] leading prefix; the grid impl
+    keeps full-capacity arrays whose capacity axis the mesh splits, so
+    ``n_map`` is ignored there.
+    """
+    if not _use_tiled(cfg):
+        states = [es_odometry.init_state(cfg) for _ in range(n_seq)]
+        return stack_states(states)
 
+    def empty_local(kind):
+        cap_local = _local_capacity(cfg, kind, n_map)
+        zeros = jnp.zeros((cap_local, 3), jnp.float32)
+        zrg = jnp.zeros((cap_local, 2), jnp.float32)
+        invalid = jnp.zeros(cap_local, bool)
+        one = map_state.build_index(zeros, zrg, invalid, jnp.zeros(3, jnp.float32), cfg, kind)
+        return jax.tree.map(lambda x: jnp.broadcast_to(x, (n_seq, n_map) + x.shape), one)
 
-def init_sharded_state(cfg: PipelineConfig, n_seq: int) -> es_odometry.ESState:
-    """Batched empty state (leading seq dim).  Shard with state_specs()."""
-    cfg = _force_grid_impl(cfg)
-    states = [es_odometry.init_state(cfg) for _ in range(n_seq)]
-    return stack_states(states)
+    base = es_odometry.init_state(cfg)
+    pose_b = jax.tree.map(lambda x: jnp.broadcast_to(x, (n_seq,) + x.shape), base.pose)
+    return es_odometry.ESState(
+        edge_map=empty_local("edge"),
+        surf_map=empty_local("surf"),
+        pose=pose_b,
+        last_pose=pose_b,
+        opt_count=jnp.broadcast_to(base.opt_count, (n_seq,)),
+    )
 
 
 def make_sharded_step(cfg: PipelineConfig, mesh, first: bool = False):
     """Build the jitted sharded frame function over ``mesh`` (axes seq, map).
 
-    Inputs: state (seq-stacked ESState), scan xyz [n_seq, N, 3], mask
+    Inputs: state (from init_sharded_state), scan xyz [n_seq, N, 3], mask
     [n_seq, N].  Feature extraction runs replicated inside each map group.
     """
-    cfg = _force_grid_impl(cfg)
     n_map = mesh.shape[MAP_AXIS]
+    tiled = _use_tiled(cfg)
 
     def block_fn(state_b, xyz_b, mask_b):
-        state = _squeeze0(state_b)
+        state = _squeeze_state(state_b, tiled)
         xyz, mask = xyz_b[0], mask_b[0]
         feat = fops.extract_features(xyz, mask, cfg.lidar, cfg.features, cfg.capacity)
         if first:
@@ -419,10 +578,11 @@ def make_sharded_step(cfg: PipelineConfig, mesh, first: bool = False):
                 edge_map_size=lax.psum(new_state.edge_map.valid.sum(), MAP_AXIS),
                 surf_map_size=lax.psum(new_state.surf_map.valid.sum(), MAP_AXIS),
                 dropped=jnp.asarray(False),
+                overflow=es_odometry.zero_overflow(),
             )
         else:
             new_state, diag = _es_step_block(state, feat, cfg, n_map)
-        return _unsqueeze0(new_state), _unsqueeze0(diag)
+        return _unsqueeze_state(new_state, tiled), _unsqueeze0(diag)
 
     diag_specs = es_odometry.FrameDiag(
         n_edge_corr=P("seq"),
@@ -430,12 +590,13 @@ def make_sharded_step(cfg: PipelineConfig, mesh, first: bool = False):
         edge_map_size=P("seq"),
         surf_map_size=P("seq"),
         dropped=P("seq"),
+        overflow=P("seq", None),
     )
     sharded = jax.shard_map(
         block_fn,
         mesh=mesh,
-        in_specs=(state_specs(), P("seq", None, None), P("seq", None)),
-        out_specs=(state_specs(), diag_specs),
+        in_specs=(state_specs(cfg), P("seq", None, None), P("seq", None)),
+        out_specs=(state_specs(cfg), diag_specs),
         check_vma=False,
     )
     return jax.jit(sharded)

@@ -31,6 +31,10 @@ class FrameRecord:
     edge_map_size: int
     surf_map_size: int
     ms: float
+    # Capacity-overflow counters (see es_odometry.OVERFLOW_LANES) + host-side
+    # raw-scan truncation count; all zero in a correctly-capacitied run.
+    overflow: np.ndarray = None
+    n_scan_trunc: int = 0
 
 
 @dataclass
@@ -56,7 +60,9 @@ class ESPipeline:
     cfg: PipelineConfig
     state: Optional[es_odometry.ESState] = None
     records: list = field(default_factory=list)
-    max_jump_m: float = 10.0  # pose jump that marks a frame corrupt
+    # Pose jump that marks a frame corrupt; None (default) keeps the value
+    # from cfg.odometry.max_jump_m so YAML/CLI overrides are honored.
+    max_jump_m: Optional[float] = None
     sync: bool = True
     fetch_lag: int = 4
     n_dropped: int = 0
@@ -65,9 +71,11 @@ class ESPipeline:
     def __post_init__(self):
         import dataclasses as _dc
 
-        cfg = self.cfg.replace(
-            odometry=_dc.replace(self.cfg.odometry, max_jump_m=self.max_jump_m)
-        )
+        cfg = self.cfg
+        if self.max_jump_m is not None:
+            cfg = cfg.replace(
+                odometry=_dc.replace(cfg.odometry, max_jump_m=self.max_jump_m)
+            )
         self.cfg = cfg
         self._pending: list = []
 
@@ -88,6 +96,7 @@ class ESPipeline:
     def _pad_scan(self, xyz: np.ndarray, valid: Optional[np.ndarray]):
         cap = self.cfg.capacity.scan_points
         n = min(len(xyz), cap)
+        self._last_scan_trunc = max(len(xyz) - cap, 0)
         out = np.zeros((cap, 3), np.float32)
         out[:n] = xyz[:n]
         mask = np.zeros(cap, bool)
@@ -99,7 +108,7 @@ class ESPipeline:
 
     def _drain_one(self):
         """Fetch the oldest pending frame's results into a FrameRecord."""
-        t0, refs = self._pending.pop(0)
+        t0, n_trunc, refs = self._pending.pop(0)
         pose_q, pose_t, diag = jax.device_get(refs)
         dropped = bool(getattr(diag, "dropped", False))
         if dropped:
@@ -112,9 +121,19 @@ class ESPipeline:
             edge_map_size=int(diag.edge_map_size),
             surf_map_size=int(diag.surf_map_size),
             ms=(time.perf_counter() - t0) * 1e3,
+            overflow=np.asarray(diag.overflow),
+            n_scan_trunc=n_trunc,
         )
         self.records.append(rec)
         return rec
+
+    @property
+    def overflow_total(self) -> int:
+        """Sum of all capacity-overflow counters over completed frames —
+        a nonzero value means points were silently dropped somewhere."""
+        return int(
+            sum(int(np.sum(r.overflow)) + r.n_scan_trunc for r in self.records)
+        )
 
     def flush(self) -> list:
         """Drain all pending fetches (call after the last frame in async mode)."""
@@ -129,6 +148,7 @@ class ESPipeline:
         the record of the frame ``fetch_lag`` frames ago (or None while the
         pipeline is still filling)."""
         t0 = time.perf_counter()
+        self._last_scan_trunc = 0
         if isinstance(xyz, np.ndarray):
             xyz_d, mask_d = self._pad_scan(xyz, valid)
         else:
@@ -148,10 +168,13 @@ class ESPipeline:
                 edge_map_size=self.state.edge_map.valid.sum(),
                 surf_map_size=self.state.surf_map.valid.sum(),
                 dropped=jnp.asarray(False),
+                overflow=es_odometry.zero_overflow(),
             )
         else:
             self.state, diag = self._step(self.state, feat)
-        self._pending.append((t0, (self.state.pose.q, self.state.pose.t, diag)))
+        self._pending.append(
+            (t0, self._last_scan_trunc, (self.state.pose.q, self.state.pose.t, diag))
+        )
         self._n_frames += 1
         rec = None
         lag = 0 if self.sync else max(self.fetch_lag, 0)
@@ -182,6 +205,8 @@ class BPFFrameRecord:
     n_corr: np.ndarray  # [3] beam/pillar/facade correspondences
     map_sizes: np.ndarray  # [3]
     ms: float
+    overflow: np.ndarray = None  # [3,4] per-channel counters (BPFDiag.overflow)
+    n_scan_trunc: int = 0
 
 
 @dataclass
@@ -226,6 +251,7 @@ class BPFPipeline:
     def _pad_scan(self, xyz: np.ndarray, valid: Optional[np.ndarray]):
         cap = self.cfg.capacity.scan_points
         n = min(len(xyz), cap)
+        self._last_scan_trunc = max(len(xyz) - cap, 0)
         out = np.zeros((cap, 3), np.float32)
         out[:n] = xyz[:n]
         mask = np.zeros(cap, bool)
@@ -233,8 +259,8 @@ class BPFPipeline:
         return jnp.asarray(out), jnp.asarray(mask)
 
     def _drain_one(self):
-        t0, refs = self._pending.pop(0)
-        pose_q, pose_t, n_corr, map_sizes, dropped = jax.device_get(refs)
+        t0, n_trunc, refs = self._pending.pop(0)
+        pose_q, pose_t, n_corr, map_sizes, dropped, overflow = jax.device_get(refs)
         if bool(dropped):
             self.n_dropped += 1
         rec = BPFFrameRecord(
@@ -243,9 +269,17 @@ class BPFPipeline:
             n_corr=np.asarray(n_corr),
             map_sizes=np.asarray(map_sizes),
             ms=(time.perf_counter() - t0) * 1e3,
+            overflow=np.asarray(overflow),
+            n_scan_trunc=n_trunc,
         )
         self.records.append(rec)
         return rec
+
+    @property
+    def overflow_total(self) -> int:
+        return int(
+            sum(int(np.sum(r.overflow)) + r.n_scan_trunc for r in self.records)
+        )
 
     def flush(self) -> list:
         while self._pending:
@@ -254,6 +288,7 @@ class BPFPipeline:
 
     def process_frame(self, xyz, valid=None) -> Optional[BPFFrameRecord]:
         t0 = time.perf_counter()
+        self._last_scan_trunc = 0
         if isinstance(xyz, np.ndarray):
             xyz_d, mask_d = self._pad_scan(xyz, valid)
         else:
@@ -276,6 +311,7 @@ class BPFPipeline:
                     ]
                 ),
                 jnp.asarray(False),
+                jnp.zeros((3, 4), jnp.int32),
             )
         else:
             self.state, diag = self._step(self.state, xyz_d, masks)
@@ -285,13 +321,22 @@ class BPFPipeline:
                 diag.n_corr,
                 diag.map_sizes,
                 diag.dropped,
+                diag.overflow,
             )
-        self._pending.append((t0, refs))
+        self._pending.append((t0, self._last_scan_trunc, refs))
         rec = None
         lag = 0 if self.sync else max(self.fetch_lag, 0)
         while len(self._pending) > lag:
             rec = self._drain_one()
         return rec
+
+    def run(self, scans: Iterable) -> list:
+        for item in scans:
+            if isinstance(item, tuple):
+                self.process_frame(*item)
+            else:
+                self.process_frame(item)
+        return self.flush()
 
     @property
     def trajectory(self):
@@ -302,7 +347,7 @@ class BPFPipeline:
 
 
 def make_pipeline(cfg: PipelineConfig, **kw):
-    """Pipeline factory by cfg.mode ("es" | "bpf")."""
+    """Pipeline factory by cfg.mode ("es" | "bpf"); kwargs forwarded to both."""
     if cfg.mode == "bpf":
         return BPFPipeline(cfg=cfg, **kw)
-    return ESPipeline(cfg=cfg)
+    return ESPipeline(cfg=cfg, **kw)

@@ -46,3 +46,32 @@ def test_stage_timer(tmp_path):
     lines = [json.loads(l) for l in path.read_text().splitlines()]
     assert len(lines) == 3 and lines[0]["stage"] == "work"
     assert "work" in st.report()
+
+
+def test_pick_candidates_validation():
+    with pytest.raises(ValueError, match="pick_candidates"):
+        cfgmod.FeatureConfig(max_edge_per_sector=40, suppression_radius=5)
+
+
+def test_tile_cap_key_overflow_raises():
+    from pfilter_tpu.ops import knn_tiled
+
+    tmap = knn_tiled.build_tiled(
+        jnp.zeros((256, 3), jnp.float32),
+        jnp.zeros((256, 2), jnp.float32),
+        jnp.zeros(256, bool),
+        jnp.zeros(3, jnp.float32),
+        8,
+        4,
+        896,  # > max supported: packed key lane bits overflow
+    )
+    with pytest.raises(ValueError, match="overflows the packed kNN key"):
+        knn_tiled.query_tiled_sorted(
+            tmap,
+            jnp.zeros((8, 3), jnp.float32),
+            jnp.zeros(65, jnp.int32),
+            8,
+            4,
+            896,
+            interpret=True,
+        )

@@ -33,7 +33,7 @@ def scans():
 
 def _run_sharded(cfg, xyz_frames, mask_frames, n_seq, n_map):
     mesh = meshlib.make_mesh(n_seq, n_map)
-    state = es_sharded.init_sharded_state(cfg, n_seq)
+    state = es_sharded.init_sharded_state(cfg, n_seq, n_map)
     first = es_sharded.make_sharded_step(cfg, mesh, first=True)
     step = es_sharded.make_sharded_step(cfg, mesh, first=False)
     traj = []

@@ -99,7 +99,8 @@ def test_fused_merge_matches_unfused(kind, leaf_mult):
     )
     sv = jnp.asarray(rng.uniform(size=ns) < 0.9)
 
-    fused = map_state.merge_scan_into_index(index, sx, srg, sv, pose_t, leaf, cfg, kind)
+    fused, n_drop = map_state.merge_scan_into_index(index, sx, srg, sv, pose_t, leaf, cfg, kind)
+    assert int(n_drop) == 0
     ref = _unfused(index, sx, srg, sv, pose_t, leaf, cfg, kind)
 
     got = _as_set(fused.xyz, fused.rg, fused.valid, leaf)
@@ -139,7 +140,7 @@ def test_fused_merge_eviction_and_aging():
         jnp.asarray(xyz), jnp.asarray(rg), jnp.asarray(valid), pose_t, cfg, "edge"
     )
     empty_scan = jnp.zeros((4, 3), jnp.float32)
-    merged = map_state.merge_scan_into_index(
+    merged, _ = map_state.merge_scan_into_index(
         index,
         empty_scan,
         jnp.zeros((4, 2), jnp.float32),

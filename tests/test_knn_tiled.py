@@ -45,7 +45,7 @@ def test_query_matches_bruteforce_within_gate():
     q = rng.uniform(-5, 5, size=(300, 3)).astype(np.float32)
     qv = np.ones(300, bool)
     res = knn_tiled.query_tiled(
-        tmap, jnp.array(q), jnp.array(qv), NT, TILE_CELLS, TILE_CAP, tqc=32, interpret=True
+        tmap, jnp.array(q), jnp.array(qv), NT, TILE_CELLS, TILE_CAP, interpret=True
     )
     ref = knn_tiled.query_tiled_reference(tmap, jnp.array(q), jnp.array(qv))
     sq, rsq = np.asarray(res.sqdist), np.asarray(ref.sqdist)
@@ -70,7 +70,7 @@ def test_query_all_neighbors_beyond_halo():
     # Far query: nothing within its halo -> inf
     q = np.array([[200.0, 200.0, 0.0]], np.float32)  # clipped to border tile
     res = knn_tiled.query_tiled(
-        tmap, jnp.array(q), jnp.ones(1, bool), NT, TILE_CELLS, TILE_CAP, tqc=32, interpret=True
+        tmap, jnp.array(q), jnp.ones(1, bool), NT, TILE_CELLS, TILE_CAP, interpret=True
     )
     # border tiles may contain clipped far map points; at minimum the result
     # must be monotone and match brute force on the gate decision
@@ -87,7 +87,7 @@ def test_invalid_queries_masked():
     qv = np.zeros(64, bool)
     qv[::2] = True
     res = knn_tiled.query_tiled(
-        tmap, jnp.array(q), jnp.array(qv), NT, TILE_CELLS, TILE_CAP, tqc=32, interpret=True
+        tmap, jnp.array(q), jnp.array(qv), NT, TILE_CELLS, TILE_CAP, interpret=True
     )
     sq = np.asarray(res.sqdist)
     assert np.all(np.isinf(sq[~qv]))
@@ -102,7 +102,7 @@ def test_many_queries_per_tile_subtiling():
     q = rng.uniform(-1, 1, size=(200, 3)).astype(np.float32)
     qv = np.ones(200, bool)
     res = knn_tiled.query_tiled(
-        tmap, jnp.array(q), jnp.array(qv), NT, TILE_CELLS, TILE_CAP, tqc=32, interpret=True
+        tmap, jnp.array(q), jnp.array(qv), NT, TILE_CELLS, TILE_CAP, interpret=True
     )
     ref = knn_tiled.query_tiled_reference(tmap, jnp.array(q), jnp.array(qv))
     np.testing.assert_allclose(

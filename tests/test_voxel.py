@@ -105,3 +105,19 @@ def test_aging():
     out = voxel.age_points(ps)
     np.testing.assert_allclose(np.asarray(out.rg[:, 0]), [2.0, 250.0, 255.0, 255.0])
     np.testing.assert_allclose(np.asarray(out.rg[:, 1]), np.asarray(ps.rg[:, 1]))
+
+
+def test_rgbds_counted_overflow():
+    """Occupied voxels beyond out_cap must be counted, not silently dropped."""
+    n = 100
+    xyz = np.zeros((n, 3), np.float32)
+    xyz[:, 0] = np.arange(n) * 1.0 + 0.25  # 100 distinct 0.5 m voxels
+    ps = voxel.PointSet(
+        jnp.asarray(xyz), jnp.zeros((n, 2), jnp.float32), jnp.ones(n, bool)
+    )
+    out, dropped = voxel.voxel_downsample_rgbds_counted(ps, 0.5, out_cap=64)
+    assert int(dropped) == 36
+    assert int(out.valid.sum()) == 64
+    # And zero when capacity suffices.
+    _, dropped2 = voxel.voxel_downsample_rgbds_counted(ps, 0.5, out_cap=128)
+    assert int(dropped2) == 0

@@ -105,7 +105,7 @@ def main():
         merge = jax.jit(
             lambda g, w, r, v: map_state.merge_scan_into_index(
                 g, w, r, v, jnp.zeros(3), 0.8, cfg, "surf"
-            )
+            )[0]
         )
         timeit("merge(262k+33k)", merge, grid, q, jnp.zeros((Q, 2), jnp.float32), qv)
 

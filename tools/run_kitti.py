@@ -55,6 +55,7 @@ def run_sequence(cfg, scans, gt_mats, out_dir: Path, tag: str):
         "frames": n,
         "fps": round(n / wall, 2),
         "mean_ms": round(float(np.mean(ms)), 2),
+        "overflow_total": pipe.overflow_total,
         "device": str(jax.devices()[0]),
     }
     if gt_mats is not None and len(gt_mats) >= n:
