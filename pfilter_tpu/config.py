@@ -82,6 +82,14 @@ class OdometryConfig:
     map_resolution: float = 0.4
     crop_half_extent: float = 100.0  # ref: src/odomEstimationClass.cpp:606-623
     nn_gate_sq: float = 1.0  # 5th-NN sq-dist gate (ref: :300, :451)
+    # Coarse-to-fine association: the FIRST outer iteration gates at this
+    # wider radius, later iterations at nn_gate_sq.  The reference's fixed
+    # 1 m gate has an absorbing failure state: once the predicted pose errs
+    # by > 1 m (corner exit, cold start), every correspondence that could
+    # correct the error is gated out and the estimator freezes — a wide
+    # first pass re-captures them and the normal gate then refines.  Must
+    # stay within the tiled kernel's halo coverage (~4 m for 4 m tiles).
+    nn_gate_wide_sq: float = 6.25  # (2.5 m)^2
     line_eig_ratio: float = 3.0  # lambda_max > 3*lambda_mid (ref: :326)
     line_half_length: float = 0.1  # endpoints at +-0.1*dir (ref: :330-331)
     plane_fit_tol: float = 0.2  # plane residual gate (ref: :469-471)
@@ -126,6 +134,10 @@ class CapacityConfig:
     tile_cells: int = 4  # tile edge in 1 m cells (4 m tiles)
     edge_tile_cap: int = 256  # max edge-map points per tile
     surf_tile_cap: int = 512  # max surf-map points per tile
+    # Tile capacity for the BPF frontend's radius-PCA over the raw non-ground
+    # scan (denser than any voxelized map near the sensor; the moments kernel
+    # has no packed-key limit so this can exceed the kNN caps).
+    frontend_tile_cap: int = 512
 
 
 @dataclass(frozen=True)
@@ -201,8 +213,13 @@ def kitti_config() -> PipelineConfig:
         capacity=CapacityConfig(
             edge_map_points=32768,
             surf_map_points=131072,
-            edge_tile_cap=128,
+            # Tile caps sized to measured worst-case 3-tile halo-row
+            # occupancy on the KITTI-like city world (edge rows peak ~490 of
+            # w=3*256, surf ~310 of w=3*256) — FrameDiag lane 6 counts any
+            # regression to nonzero truncation.
+            edge_tile_cap=256,
             surf_tile_cap=256,
+            frontend_tile_cap=384,
         ),
     )
 

@@ -138,6 +138,8 @@ def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
     def outer_body(carry):
         q, t_l, rgs, scan_rgs, _, it = carry
         pose_l = se3.Pose(q=q, t=t_l)
+        # Coarse-to-fine gate schedule (see es_odometry.es_step).
+        gate_sq = jnp.where(it == 0, o.nn_gate_wide_sq, o.nn_gate_sq)
 
         assocs = {}
         new_rgs = []
@@ -154,6 +156,7 @@ def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
                 scan_rgs[i],
                 cfg,
                 qsort_bounds=bounds[kind],
+                gate_sq=gate_sq,
             )
             assocs[kind] = a
             new_rgs.append(

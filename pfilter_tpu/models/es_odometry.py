@@ -143,13 +143,17 @@ def _associate(
     scan_rg: jnp.ndarray,
     cfg: PipelineConfig,
     qsort_bounds: jnp.ndarray | None = None,
+    gate_sq: jnp.ndarray | float | None = None,
 ) -> _Assoc:
     """One correspondence-building pass (ref ``addEdgeCostFactor`` /
     ``addSurfCostFactor``, src/odomEstimationClass.cpp:284-578): 5-NN lookup,
-    geometric fit, persistence read/update/gate, weight statistics."""
+    geometric fit, persistence read/update/gate, weight statistics.
+    ``gate_sq`` overrides the 5th-NN gate (coarse-to-fine schedule)."""
     o = cfg.odometry
     c = cfg.capacity
     k = c.knn_k
+    if gate_sq is None:
+        gate_sq = o.nn_gate_sq
 
     # Query in world coords; the index stores world points.
     q_world = se3.transform_points(pose_local, scan_xyz) + center
@@ -161,7 +165,7 @@ def _associate(
         nn_sq = jnp.where(scan_valid[:, None], nn_sq, jnp.inf)
     else:
         nn_idx, nn_sq = map_state.query_index(grid, q_world, scan_valid, cfg, kind)
-    gate = nn_sq[:, k - 1] < o.nn_gate_sq
+    gate = nn_sq[:, k - 1] < gate_sq
 
     neigh = grid.xyz[nn_idx] - center  # [M,5,3] local frame for fp32 fits
     if map_state.is_line_kind(kind):
@@ -335,14 +339,18 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
     def outer_body(carry):
         q, t_l, e_rg, s_rg, se_rg, ss_rg, _, _, it = carry
         pose_l = se3.Pose(q=q, t=t_l)
+        # Coarse-to-fine: wide gate on the first outer iteration only (see
+        # OdometryConfig.nn_gate_wide_sq — breaks the fixed-gate absorbing
+        # state at corner exits / cold starts).
+        gate_sq = jnp.where(it == 0, o.nn_gate_wide_sq, o.nn_gate_sq)
 
         ea = _associate(
             "edge", edge_grid, e_rg, pose_l, center, ds_edge.xyz, ds_edge.valid, se_rg, cfg,
-            qsort_bounds=e_bounds,
+            qsort_bounds=e_bounds, gate_sq=gate_sq,
         )
         sa = _associate(
             "surf", surf_grid, s_rg, pose_l, center, ds_surf.xyz, ds_surf.valid, ss_rg, cfg,
-            qsort_bounds=s_bounds,
+            qsort_bounds=s_bounds, gate_sq=gate_sq,
         )
 
         e_rg = e_rg.at[:, 1].set(jnp.minimum(o.counter_cap, e_rg[:, 1] + ea.g_increment))

@@ -171,11 +171,14 @@ def _sharded_associate(
     cfg,
     n_map,
     qsort_bounds=None,
+    gate_sq=None,
 ):
     """One collective correspondence pass.  ``scan_xyz`` must already be in
     tile-sorted order when ``qsort_bounds`` is given (tiled impl)."""
     o, c = cfg.odometry, cfg.capacity
     k = c.knn_k
+    if gate_sq is None:
+        gate_sq = o.nn_gate_sq
     q = scan_xyz.shape[0]
     qs = q // n_map
     me = lax.axis_index(MAP_AXIS)
@@ -216,7 +219,7 @@ def _sharded_associate(
     sq5_s, xyz5_s, rg5_s, lidx5_s, shard5_s = map(sl, (sq5, xyz5, rg5, lidx5, shard5))
     pts_s, pvalid_s, prg_s = sl(scan_xyz), sl(scan_valid), sl(scan_rg)
 
-    gate = sq5_s[:, k - 1] < o.nn_gate_sq
+    gate = sq5_s[:, k - 1] < gate_sq
     neigh = xyz5_s - center
     if map_state.is_line_kind(kind):
         pa, pb, fit_ok = gn.fit_lines(neigh, o.line_eig_ratio, o.line_half_length)
@@ -400,14 +403,17 @@ def _es_step_block(state, feat, cfg: PipelineConfig, n_map: int):
     def outer_body(carry):
         q, t_l, e_rg, s_rg, se_rg, ss_rg, _, _, it = carry
         pose_l = se3.Pose(q=q, t=t_l)
+        # Coarse-to-fine gate schedule — must mirror es_odometry.es_step
+        # exactly (n_map=1 equivalence).
+        gate_sq = jnp.where(it == 0, o.nn_gate_wide_sq, o.nn_gate_sq)
 
         ea = _sharded_associate(
             "edge", edge_grid, e_rg, pose_l, center, ds_edge.xyz, ds_edge.valid,
-            se_rg, cfg, n_map, qsort_bounds=e_bounds,
+            se_rg, cfg, n_map, qsort_bounds=e_bounds, gate_sq=gate_sq,
         )
         sa = _sharded_associate(
             "surf", surf_grid, s_rg, pose_l, center, ds_surf.xyz, ds_surf.valid,
-            ss_rg, cfg, n_map, qsort_bounds=s_bounds,
+            ss_rg, cfg, n_map, qsort_bounds=s_bounds, gate_sq=gate_sq,
         )
         e_rg = e_rg.at[:, 1].set(ea.map_g_new)
         s_rg = s_rg.at[:, 1].set(sa.map_g_new)

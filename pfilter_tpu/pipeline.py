@@ -234,7 +234,7 @@ class BPFPipeline:
 
         def _frontend(xyz, mask):
             fr = bpf_frontend.run_frontend(xyz, mask, cfg, gf, cf)
-            return fr.beam_mask, fr.pillar_mask, fr.facade_mask
+            return fr.beam_mask, fr.pillar_mask, fr.facade_mask, fr.n_halo_truncated
 
         def _first(state, xyz, masks):
             return bpf_odometry.first_frame(state, xyz, masks, cfg)
@@ -260,7 +260,9 @@ class BPFPipeline:
 
     def _drain_one(self):
         t0, n_trunc, refs = self._pending.pop(0)
-        pose_q, pose_t, n_corr, map_sizes, dropped, overflow = jax.device_get(refs)
+        pose_q, pose_t, n_corr, map_sizes, dropped, overflow, fe_trunc = jax.device_get(
+            refs
+        )
         if bool(dropped):
             self.n_dropped += 1
         rec = BPFFrameRecord(
@@ -270,7 +272,7 @@ class BPFPipeline:
             map_sizes=np.asarray(map_sizes),
             ms=(time.perf_counter() - t0) * 1e3,
             overflow=np.asarray(overflow),
-            n_scan_trunc=n_trunc,
+            n_scan_trunc=n_trunc + int(fe_trunc),
         )
         self.records.append(rec)
         return rec
@@ -294,7 +296,7 @@ class BPFPipeline:
         else:
             xyz_d = xyz
             mask_d = valid if valid is not None else jnp.ones(xyz.shape[0], bool)
-        beam, pillar, facade = self._frontend(xyz_d, mask_d)
+        beam, pillar, facade, fe_trunc = self._frontend(xyz_d, mask_d)
         masks = {"beam": beam, "pillar": pillar, "facade": facade}
         if self.state is None:
             self.state = self._bpf.init_state(self.cfg)
@@ -312,6 +314,7 @@ class BPFPipeline:
                 ),
                 jnp.asarray(False),
                 jnp.zeros((3, 4), jnp.int32),
+                fe_trunc,
             )
         else:
             self.state, diag = self._step(self.state, xyz_d, masks)
@@ -322,6 +325,7 @@ class BPFPipeline:
                 diag.map_sizes,
                 diag.dropped,
                 diag.overflow,
+                fe_trunc,
             )
         self._pending.append((t0, self._last_scan_trunc, refs))
         rec = None

@@ -6,18 +6,26 @@ is held constant while the shard count n_map grows, so the total registered
 map grows linearly with devices and perfect scaling keeps the per-step time
 flat.  Efficiency(n) = T(1) / T(n).
 
-Two execution tiers (one real TPU chip is available in this environment):
+Only ONE real TPU chip exists in this environment, so the measurement is
+split into the pieces one chip can measure honestly:
 
-- ``--platform cpu`` (default): an ``--xla_force_host_platform_device_count``
-  virtual mesh.  Collectives compile to XLA's real all_gather/psum lowering,
-  so the *structural* scaling cost (comm volume, merge width) is measured,
-  but absolute times are host times.  Uses knn_impl=grid (XLA-native) so the
-  timed program is compiled code, not the Pallas interpreter.
-- ``--platform tpu``: the single real chip, n_map=1 only — measures sharded
-  vs single-chip parity of the tiled Pallas path (the overhead of the
-  shard_map program structure itself).
+- ``--platform tpu``: (a) sharded-vs-single parity at n_map=1 (the cost of
+  the shard_map program structure, with the tiled Pallas kNN), and (b) the
+  *per-shard compute* time at the per-shard load weak scaling implies — the
+  shard program's map block size is constant by construction, so compute
+  time per step is flat and the only scaling loss is collective traffic.
+  The report combines measured per-step compute with the analytically exact
+  per-step all_gather/psum byte volume (it grows ~linearly in n_map) and an
+  ICI-bandwidth window to bound projected efficiency.
+- ``--platform cpu``: an ``--xla_force_host_platform_device_count`` virtual
+  mesh for structural validation.  All virtual devices timeshare one host
+  CPU, so wall time grows with TOTAL work across shards — the printed
+  ``virtual_mesh_walltime_note`` makes explicit that this tier validates
+  compilation/execution of the collective program, not real-hardware
+  efficiency.  Uses knn_impl=grid (XLA-native) so the timed program is
+  compiled code, not the Pallas interpreter.
 
-Writes one JSON dict (see --out) with per-n_map step times and efficiencies.
+Writes one JSON dict (see --out) with per-n_map step times and projections.
 
 Replaces (at scale) the reference's single-process registration
 (src/odomEstimationClass.cpp:229-282); sharding design in
@@ -27,7 +35,11 @@ pfilter_tpu/parallel/es_sharded.py.
 import argparse
 import json
 import os
+import sys
 import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
 def main():
@@ -99,55 +111,131 @@ def main():
             return xyz[:cap], valid[:cap]
         return jnp.pad(xyz, ((0, cap - n), (0, 0))), jnp.pad(valid, (0, cap - n))
 
-    results = {}
-    for n_map in n_maps:
-        if n_map > len(jax.devices()):
-            print(f"skip n_map={n_map}: only {len(jax.devices())} devices")
-            continue
-        cfg = make_cfg(n_map)
+    def run_config(cfg, n_map):
+        """Time the sharded step (1 x n_map mesh) over the scan stream.
+        Frames are dispatched asynchronously (JAX dispatch runs ahead of the
+        device) and completion is forced once at the end — per-frame time is
+        pure device throughput, not tunnel round trips."""
         mesh = meshlib.make_mesh(1, n_map)
         state = es_sharded.init_sharded_state(cfg, 1, n_map)
         first = es_sharded.make_sharded_step(cfg, mesh, first=True)
         step = es_sharded.make_sharded_step(cfg, mesh, first=False)
-
         cap = cfg.capacity.scan_points
-        times = []
+        diag = None
+        t0 = None
         for i in range(n_frames):
             xyz, valid = render(poses.q[i], poses.t[i])
             xb, mb = padded(xyz, valid, cap)
             xb, mb = xb[None], mb[None]
-            t0 = time.perf_counter()
             if i == 0:
                 state, diag = first(state, xb, mb)
             else:
                 state, diag = step(state, xb, mb)
-            jax.block_until_ready(state.pose.t)
-            dt = time.perf_counter() - t0
-            if i >= args.warmup:
-                times.append(dt)
-        mean_ms = float(np.mean(times) * 1e3)
-        results[n_map] = {
-            "mean_ms_per_step": round(mean_ms, 2),
-            "p50_ms": round(float(np.percentile(times, 50) * 1e3), 2),
-            "surf_map_points_total": int(jax.device_get(diag.surf_map_size)[0]),
-            "surf_map_capacity_total": cfg.capacity.surf_map_points,
-        }
-        print(f"n_map={n_map}: {results[n_map]}")
+            if i == args.warmup - 1:
+                fetch_scalar(state.pose.t)  # drain warmup + compile
+                t0 = time.perf_counter()
+        fetch_scalar(state.pose.t)
+        mean_s = (time.perf_counter() - t0) / (n_frames - args.warmup)
+        return mean_s, diag
 
-    base = min(results)
-    for n_map, r in results.items():
-        r["weak_scaling_efficiency"] = round(
-            results[base]["mean_ms_per_step"] / r["mean_ms_per_step"], 3
-        )
+    def fetch_scalar(x):
+        # block_until_ready is unreliable over the TPU tunnel; fetch a value.
+        float(np.asarray(x)[0, 0])
+
+    def comm_bytes_per_step(cfg, n_map, outer_iters=2):
+        """Exact per-device all_gather receive volume per odometry step (the
+        only traffic that grows with n_map; the psum'd 6x6 GN blocks are
+        constant ~0.2 KB).  See es_sharded._sharded_associate."""
+        k = cfg.capacity.knn_k
+        total = 0
+        for q in (cfg.capacity.ds_edge_points, cfg.capacity.ds_surf_points):
+            merge = n_map * q * k * (4 + 12 + 8 + 4)  # sqdist,nxyz,nrg,idx
+            route = q * k * (4 + 4 + 1)  # shard5, lidx5, matched (gathered Qs->Q)
+            wb = q * 8  # scan_rg writebacks
+            total += merge + route + wb
+        return outer_iters * total
 
     out = {
         "platform": args.platform,
         "device": str(jax.devices()[0]),
-        "knn_impl": "grid" if args.platform == "cpu" else "tiled",
         "block_points_per_shard": args.block_points,
         "frames": args.frames,
-        "results": {str(k): v for k, v in sorted(results.items())},
     }
+
+    if args.platform == "tpu":
+        from pfilter_tpu.pipeline import ESPipeline
+
+        # (a) single-chip (non-sharded) baseline fps on the same stream.
+        cfg1 = make_cfg(1)
+        pipe = ESPipeline(cfg=cfg1, sync=False, fetch_lag=4)
+        for i in range(n_frames):
+            xyz, valid = render(poses.q[i], poses.t[i])
+            xb, mb = padded(xyz, valid, cfg1.capacity.scan_points)
+            pipe.process_frame(xb, mb)
+            if i == args.warmup - 1:
+                pipe.flush()
+                t0 = time.perf_counter()
+        pipe.flush()
+        single_ms = (time.perf_counter() - t0) / args.frames * 1e3
+
+        # (b) sharded 1x1: the same program under shard_map (tiled kernel).
+        mean_s, diag = run_config(cfg1, 1)
+        shard_ms = mean_s * 1e3
+
+        # (c) weak-scaling projection: per-shard compute is constant by
+        # construction (block size fixed); the added cost at n shards is the
+        # all_gather volume, which is exact arithmetic, over an ICI-bandwidth
+        # window (TPU v5e: ~45 GB/s usable per direction per link; 10 GB/s
+        # as a pessimistic multi-hop/congested bound).
+        proj = {}
+        for n in n_maps:
+            extra = comm_bytes_per_step(cfg1, n) - comm_bytes_per_step(cfg1, 1)
+            for bw, label in ((45e9, "ici_45GBps"), (10e9, "ici_10GBps")):
+                t_n = shard_ms + extra / bw * 1e3
+                proj.setdefault(str(n), {})[label] = round(shard_ms / t_n, 3)
+            proj[str(n)]["comm_MB_per_step"] = round(comm_bytes_per_step(cfg1, n) / 1e6, 2)
+        out.update(
+            knn_impl="tiled",
+            single_chip_ms=round(single_ms, 2),
+            sharded_1x1_ms=round(shard_ms, 2),
+            shard_structure_efficiency=round(single_ms / shard_ms, 3),
+            weak_scaling_projection=proj,
+            note=(
+                "one real chip: per-shard compute measured, comm volume exact,"
+                " efficiency projected over an ICI bandwidth window"
+            ),
+        )
+    else:
+        results = {}
+        for n_map in n_maps:
+            if n_map > len(jax.devices()):
+                print(f"skip n_map={n_map}: only {len(jax.devices())} devices")
+                continue
+            cfg = make_cfg(n_map)
+            mean_s, diag = run_config(cfg, n_map)
+            results[n_map] = {
+                "mean_ms_per_step": round(mean_s * 1e3, 2),
+                "surf_map_points_total": int(jax.device_get(diag.surf_map_size)[0]),
+                "surf_map_capacity_total": cfg.capacity.surf_map_points,
+                "total_work_ratio_vs_n1": None,
+            }
+            print(f"n_map={n_map}: {results[n_map]}")
+        base = min(results)
+        for n_map, r in results.items():
+            r["total_work_ratio_vs_n1"] = round(
+                r["mean_ms_per_step"] / results[base]["mean_ms_per_step"], 3
+            )
+        out.update(
+            knn_impl="grid",
+            results={str(k): v for k, v in sorted(results.items())},
+            virtual_mesh_walltime_note=(
+                "all virtual devices timeshare one host CPU: wall time grows"
+                " with TOTAL work across shards, so this tier validates the"
+                " collective program's compilation/execution, not"
+                " real-hardware efficiency (see platform=tpu projection)"
+            ),
+        )
+
     print(json.dumps(out))
     if args.out:
         with open(args.out, "w") as f:
