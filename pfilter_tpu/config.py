@@ -151,6 +151,28 @@ class GroundConfig:
 
 
 @dataclass(frozen=True)
+class FastGroundConfig:
+    """fast_ground_filter parameters (ref: src/preProcess.cpp:56-70 arg list;
+    defaults follow the reference call sites / header defaults)."""
+
+    grid_resolution: float = 2.0
+    num_cells: int = 128  # fixed window: 128 x 2 m cells = +-128 m
+    min_grid_pt_num: int = 8
+    max_height_difference: float = 0.3
+    neighbor_height_diff: float = 1.5
+    max_ground_height: float = 6.0
+    ground_down_rate: int = 10
+    ground_down_down_rate: int = 2
+    nonground_down_rate: int = 2
+    reliable_neighbor_thre: int = 0
+    normal_method: int = 0  # 0: (0,0,1) | 1/2/3: per-grid TLS plane normal
+    distance_weight_method: int = 2  # 0 none | 1 linear | 2 quadratic
+    standard_distance: float = 15.0
+    fixed_num_downsampling: bool = False
+    down_fixed_num: int = 1000
+
+
+@dataclass(frozen=True)
 class DCVCConfig:
     """Dynamic curved-voxel clustering (ref: src/additionClass.cpp, config/config.yaml:49-54)."""
 
@@ -192,6 +214,7 @@ class PipelineConfig:
     odometry: OdometryConfig = OdometryConfig()
     capacity: CapacityConfig = CapacityConfig()
     ground: GroundConfig = GroundConfig()
+    fast_ground: FastGroundConfig = FastGroundConfig()
     dcvc: DCVCConfig = DCVCConfig()
     pca: PCAClassifyConfig = PCAClassifyConfig()
 
@@ -209,7 +232,12 @@ def kitti_config() -> PipelineConfig:
     rather than generous."""
     return PipelineConfig(
         lidar=LidarConfig(num_lines=64, max_distance=90.0, min_distance=3.0),
-        odometry=OdometryConfig(k_new=0.0, theta_p=0.4, theta_max=75.0, map_resolution=0.4),
+        # weight_type=2 (map-sparsity weighting) is the reference's launch
+        # default (launch/pfilter_kitti.launch:8); ABLATION_r02.json measures
+        # it slightly ahead of weighting-off on drift/rotation/ATE.
+        odometry=OdometryConfig(
+            k_new=0.0, theta_p=0.4, theta_max=75.0, map_resolution=0.4, weight_type=2
+        ),
         capacity=CapacityConfig(
             edge_map_points=32768,
             surf_map_points=131072,

@@ -1,0 +1,127 @@
+"""fast_ground_filter tests vs a direct numpy transcription of the
+reference's classification semantics (src/preProcess.cpp:56-283)."""
+
+import jax.numpy as jnp
+import numpy as np
+
+from pfilter_tpu.config import FastGroundConfig
+from pfilter_tpu.ops import fast_ground
+
+
+def _make_scene(rng, n_ground=40000, n_wall=4000, n_high=800):
+    """Flat ground at z~0 + a wall + high canopy points."""
+    g = np.stack(
+        [
+            rng.uniform(-40, 40, n_ground),
+            rng.uniform(-40, 40, n_ground),
+            rng.normal(0.0, 0.03, n_ground),
+        ],
+        -1,
+    )
+    w = np.stack(
+        [
+            rng.uniform(9.8, 10.2, n_wall),
+            rng.uniform(-20, 20, n_wall),
+            rng.uniform(0.2, 4.0, n_wall),
+        ],
+        -1,
+    )
+    h = np.stack(
+        [
+            rng.uniform(-40, 40, n_high),
+            rng.uniform(-40, 40, n_high),
+            rng.uniform(7.0, 12.0, n_high),
+        ],
+        -1,
+    )
+    xyz = np.concatenate([g, w, h]).astype(np.float32)
+    perm = rng.permutation(len(xyz))
+    return xyz[perm]
+
+
+def test_fast_ground_classification():
+    rng = np.random.default_rng(0)
+    xyz = _make_scene(rng)
+    valid = np.ones(len(xyz), bool)
+    cfg = FastGroundConfig(distance_weight_method=0, ground_down_rate=1, nonground_down_rate=1)
+    res = fast_ground.fast_ground_filter(jnp.asarray(xyz), jnp.asarray(valid), cfg)
+    gm = np.asarray(res.ground_mask)
+    ngm = np.asarray(res.nonground_mask)
+    assert not np.any(gm & ngm)
+    # Ground points (z ~ 0) classified ground; wall points (z > 0.5) not.
+    low = xyz[:, 2] < 0.1
+    wall = (np.abs(xyz[:, 0] - 10.0) < 0.3) & (xyz[:, 2] > 0.8)
+    assert gm[low].mean() > 0.9, gm[low].mean()
+    assert (~gm[wall]).all()
+    # Wall points survive as non-ground (no rate downsampling here).
+    assert ngm[wall].mean() > 0.9
+    # High canopy points bypass the grid into non-ground (ref: :140-156).
+    high = xyz[:, 2] > 7.0
+    assert ngm[high].mean() > 0.9
+    # Height above ground ~ z for wall points over flat ground (cells cut
+    # by the wall can carry an offset min_z, so check by quantile).
+    hag = np.asarray(res.height_above_ground)
+    sel = wall & ngm
+    diff = np.abs(hag[sel] - xyz[sel, 2])
+    assert np.percentile(diff, 90) < 0.3, np.percentile(diff, 90)
+    assert (hag[sel] > 0.3).mean() > 0.95
+
+
+def test_fast_ground_distance_weighted_downsampling():
+    rng = np.random.default_rng(1)
+    xyz = _make_scene(rng)
+    valid = np.ones(len(xyz), bool)
+    base = FastGroundConfig(distance_weight_method=0, ground_down_rate=4)
+    dw = FastGroundConfig(distance_weight_method=2, ground_down_rate=4, standard_distance=15.0)
+    r0 = fast_ground.fast_ground_filter(jnp.asarray(xyz), jnp.asarray(valid), base)
+    r2 = fast_ground.fast_ground_filter(jnp.asarray(xyz), jnp.asarray(valid), dw)
+    g0 = np.asarray(r0.ground_mask)
+    g2 = np.asarray(r2.ground_mask)
+    d = np.linalg.norm(xyz[:, :2], axis=1)
+    far = d > 30.0
+    near = d < 10.0
+    # Quadratic distance weighting keeps far points at a much higher rate
+    # than the flat 1-in-4 rate, and thins near points harder.
+    assert g2[far].mean() > g0[far].mean()
+    assert g2[near].sum() <= g0[near].sum() * 1.5
+
+
+def test_fast_ground_normals():
+    rng = np.random.default_rng(2)
+    # Tilted plane z = 0.1 x -> normal ~ (-0.0995, 0, 0.995).
+    n = 40000
+    xy = rng.uniform(-30, 30, (n, 2))
+    z = 0.1 * xy[:, 0] + rng.normal(0, 0.01, n)
+    xyz = np.concatenate([xy, z[:, None]], -1).astype(np.float32)
+    cfg = FastGroundConfig(
+        normal_method=1,
+        distance_weight_method=0,
+        ground_down_rate=1,
+        max_height_difference=0.8,
+        neighbor_height_diff=3.0,
+    )
+    res = fast_ground.fast_ground_filter(
+        jnp.asarray(xyz), jnp.ones(n, bool), cfg
+    )
+    gm = np.asarray(res.ground_mask)
+    assert gm.sum() > n * 0.5
+    nrm = np.asarray(res.normal)[gm]
+    expect = np.array([-0.1, 0.0, 1.0])
+    expect /= np.linalg.norm(expect)
+    dots = nrm @ expect
+    assert np.median(dots) > 0.99, np.median(dots)
+
+
+def test_fast_ground_fixed_num_downsampling():
+    rng = np.random.default_rng(3)
+    xyz = _make_scene(rng)
+    cfg = FastGroundConfig(
+        distance_weight_method=0,
+        ground_down_rate=1,
+        fixed_num_downsampling=True,
+        down_fixed_num=500,
+    )
+    res = fast_ground.fast_ground_filter(jnp.asarray(xyz), jnp.ones(len(xyz), bool), cfg)
+    n_down = int(np.asarray(res.ground_down_mask).sum())
+    assert 400 <= n_down <= 1100, n_down  # stride-quantized near the target
+    assert np.all(np.asarray(res.ground_down_mask) <= np.asarray(res.ground_mask))

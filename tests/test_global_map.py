@@ -63,3 +63,31 @@ def test_cells_grow_along_trajectory():
     m = gm.get_map()
     # Map spans the whole trajectory.
     assert m[:, 0].min() < 0 and m[:, 0].max() > 3 * CELL_SIZE
+
+
+def test_run_sequence_global_map_artifact(tmp_path):
+    """run_kitti --global-map end-to-end: driver feeds pose + scan into the
+    tiled map and saves npz/PLY artifacts (ref laserMappingNode was built but
+    never launched; here the map path is wired and tested)."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parents[1] / "tools"))
+    import numpy as np
+
+    from tests.test_es_odometry import small_config
+    from pfilter_tpu.utils import synthetic
+    from run_kitti import run_sequence
+
+    cfg = small_config()
+    world = synthetic.make_world(seed=3, corridor_len=40.0)
+    poses = synthetic.make_trajectory(3, speed=0.8)
+    xyz, valid = synthetic.render_sequence(world, poses, cfg.lidar, n_azimuth=600, noise=0.004)
+    scans = [np.asarray(xyz[i])[np.asarray(valid[i])] for i in range(3)]
+    res = run_sequence(cfg, scans, None, tmp_path, "t", global_map_stride=1)
+    assert res["frames"] == 3
+    data = np.load(tmp_path / "t_map.npz")
+    pts = data["xyz"]
+    assert len(pts) > 1000
+    assert np.isfinite(pts).all()
+    assert (tmp_path / "t_map.ply").exists()

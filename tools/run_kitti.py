@@ -28,18 +28,36 @@ import numpy as np
 sys.path.insert(0, str(Path(__file__).resolve().parents[1]))
 
 
-def run_sequence(cfg, scans, gt_mats, out_dir: Path, tag: str):
+def run_sequence(cfg, scans, gt_mats, out_dir: Path, tag: str, global_map_stride: int = 0):
     import jax
 
     from pfilter_tpu.pipeline import make_pipeline
     from pfilter_tpu.utils import checkpoint, metrics
 
     pipe = make_pipeline(cfg)
+    gm = None
+    if global_map_stride > 0:
+        from pfilter_tpu.models.global_map import GlobalMap
+
+        gm = GlobalMap(resolution=cfg.odometry.map_resolution)
+
     t0 = time.perf_counter()
     n = 0
     for scan in scans:
         xyz = scan[:, :3] if scan.shape[1] >= 4 else scan
-        pipe.process_frame(np.ascontiguousarray(xyz, np.float32))
+        xyz = np.ascontiguousarray(xyz, np.float32)
+        rec = pipe.process_frame(xyz)
+        # Global visualization map (ref laserMappingNode consumed /odom +
+        # the filtered cloud, src/laserMappingNode.cpp:51-136; here the
+        # synced FrameRecord pose + a strided scan feed the tiled map).
+        if gm is not None and rec is not None and n % global_map_stride == 0:
+            sub = xyz[:: max(1, len(xyz) // 30000)]
+            gm.update(
+                np.asarray(rec.pose_q),
+                np.asarray(rec.pose_t),
+                sub,
+                np.ones(len(sub), bool),
+            )
         n += 1
     wall = time.perf_counter() - t0
 
@@ -48,6 +66,10 @@ def run_sequence(cfg, scans, gt_mats, out_dir: Path, tag: str):
     out_dir.mkdir(parents=True, exist_ok=True)
     metrics.save_kitti_format(out_dir / f"{tag}.txt", est)
     checkpoint.save_trajectory(out_dir / f"{tag}_frames.jsonl", pipe.records)
+    if gm is not None:
+        pts = gm.get_map()
+        np.savez_compressed(out_dir / f"{tag}_map.npz", xyz=pts)
+        _save_ply(out_dir / f"{tag}_map.ply", pts)
 
     ms = [r.ms for r in pipe.records[max(1, n // 10) :]]
     result = {
@@ -69,6 +91,17 @@ def run_sequence(cfg, scans, gt_mats, out_dir: Path, tag: str):
     return result
 
 
+def _save_ply(path: Path, pts: np.ndarray) -> None:
+    """ASCII PLY (the standard viewer format for the /map artifact)."""
+    with open(path, "w") as f:
+        f.write(
+            "ply\nformat ascii 1.0\n"
+            f"element vertex {len(pts)}\n"
+            "property float x\nproperty float y\nproperty float z\nend_header\n"
+        )
+        np.savetxt(f, pts, fmt="%.3f")
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--root", help="KITTI odometry root (sequences/, poses/)")
@@ -81,6 +114,16 @@ def main():
     ap.add_argument("--out", default="runs")
     ap.add_argument("--frames", type=int, default=0, help="limit frames (0 = all)")
     ap.add_argument("--synthetic", action="store_true", help="synthetic world instead of KITTI")
+    ap.add_argument(
+        "--global-map",
+        type=int,
+        nargs="?",
+        const=5,
+        default=0,
+        metavar="STRIDE",
+        help="build the tiled global map from every STRIDE-th frame (default "
+        "5 when given bare) and save {tag}_map.npz/.ply",
+    )
     args = ap.parse_args()
 
     from pfilter_tpu.config import load_config
@@ -134,7 +177,10 @@ def main():
                     yield s
 
             scans = scan_iter()
-        res = run_sequence(cfg, scans, gt, out_dir, f"{args.sequence}_{tag}")
+        res = run_sequence(
+            cfg, scans, gt, out_dir, f"{args.sequence}_{tag}",
+            global_map_stride=args.global_map,
+        )
         print(json.dumps(res), flush=True)
         results.append(res)
 
