@@ -47,7 +47,12 @@ def main():
     ap.add_argument("--platform", default="cpu", choices=("cpu", "tpu"))
     ap.add_argument("--n-maps", default="1,2,4,8")
     ap.add_argument("--frames", type=int, default=12, help="timed steps per config")
-    ap.add_argument("--warmup", type=int, default=3)
+    # Warmup must outlast the opt_count decay (max_outer_iters frames): early
+    # frames run up to 12 outer iterations vs 2 at steady state, so a short
+    # warmup times a mixture of decaying costs and the single/sharded split
+    # becomes noise-dominated (this produced the bogus 0.53 structure
+    # efficiency in SCALING_r02's first cut).
+    ap.add_argument("--warmup", type=int, default=12)
     ap.add_argument("--block-points", type=int, default=32768, help="surf map points per shard")
     ap.add_argument("--scan-points", type=int, default=32768)
     ap.add_argument("--out", default=None)
