@@ -107,6 +107,18 @@ class OdometryConfig:
     max_jump_m: float = 10.0
     observe_saturate_ratio: float = 5.0  # observe/round > 5 -> observe = 255 (ref: :348)
     counter_cap: float = 255.0
+    # Associate once per frame (kNN + neighbor gather + geometric fits +
+    # persistence reads at the *predicted* pose), with outer iterations only
+    # re-gating distances under the refined pose and re-running GN.  The
+    # neighbor sets, line/plane fits and persistence counters depend on the
+    # map alone, so re-deriving them every outer iteration (as the reference
+    # does, re-querying the KD-tree per iteration) buys nothing once the
+    # pose prediction is within the wide gate — and costs ~2x the kNN,
+    # gather, fit and scatter work per frame.  g-counter increments are
+    # scaled by the number of outer iterations to preserve the reference's
+    # per-iteration counter dynamics.  False restores per-iteration
+    # re-association (ref: src/odomEstimationClass.cpp:252-272).
+    assoc_once: bool = True
 
 
 @dataclass(frozen=True)
@@ -240,7 +252,12 @@ def kitti_config() -> PipelineConfig:
         ),
         capacity=CapacityConfig(
             edge_map_points=32768,
-            surf_map_points=131072,
+            # Sized ~3x the measured steady-state occupancy (surf ~20-26k
+            # voxels at 0.8 m leaf inside the 100 m crop with persistence
+            # eviction on) — every map sort/merge/scatter cost scales with
+            # this capacity, and overflow lanes 4/5 fail loudly if a denser
+            # world ever fills it.
+            surf_map_points=65536,
             # Tile caps sized to measured worst-case 3-tile halo-row
             # occupancy on the KITTI-like city world (edge rows peak ~490 of
             # w=3*256, surf ~310 of w=3*256) — FrameDiag lane 6 counts any

@@ -224,6 +224,105 @@ def _associate(
     )
 
 
+class _AssocStatic(NamedTuple):
+    """Frame-invariant association data (assoc_once=True path): everything
+    derived from the map + the predicted-pose kNN, computed once per frame.
+    Only the distance gate depends on the refining pose."""
+
+    nn_idx: jnp.ndarray  # [M,5] map slot ids
+    neigh: jnp.ndarray  # [M,5,3] neighbor coords, center-relative
+    nn_valid: jnp.ndarray  # [M] query had a full finite 5-NN set
+    geom_a: jnp.ndarray  # [M,3] line endpoint a / plane normal
+    geom_b: jnp.ndarray  # [M,3] line endpoint b / (plane d, 0, 0)
+    fit_ok: jnp.ndarray  # [M]
+    pers_ok: jnp.ndarray  # [M] persistence gate (frame-start counters)
+    observe: jnp.ndarray  # [M] saturated observe statistic
+    round_: jnp.ndarray  # [M]
+    sparsity: jnp.ndarray  # [M]
+
+
+def _associate_static(
+    kind: str,
+    grid,
+    map_rg: jnp.ndarray,
+    pose_local: se3.Pose,
+    center: jnp.ndarray,
+    scan_xyz: jnp.ndarray,
+    scan_valid: jnp.ndarray,
+    cfg: PipelineConfig,
+    qsort_bounds: jnp.ndarray,
+) -> _AssocStatic:
+    """The pose-independent half of a correspondence pass: 5-NN at the
+    predicted pose, neighbor gather, line/plane fits, persistence read+gate,
+    sparsity statistic (ref ``addEdgeCostFactor``/``addSurfCostFactor``,
+    src/odomEstimationClass.cpp:284-578 — here hoisted out of the outer
+    iteration loop, see OdometryConfig.assoc_once)."""
+    o = cfg.odometry
+    k = cfg.capacity.knn_k
+
+    q_world = se3.transform_points(pose_local, scan_xyz) + center
+    if qsort_bounds is not None:
+        nn_idx, nn_sq = map_state.query_index_presorted(
+            grid, q_world, qsort_bounds, cfg, kind
+        )
+    else:
+        nn_idx, nn_sq = map_state.query_index(grid, q_world, scan_valid, cfg, kind)
+    nn_valid = scan_valid & jnp.isfinite(nn_sq[:, k - 1])
+
+    neigh = grid.xyz[nn_idx] - center  # [M,5,3] local frame for fp32 fits
+    if map_state.is_line_kind(kind):
+        pa, pb, fit_ok = gn.fit_lines(neigh, o.line_eig_ratio, o.line_half_length)
+        geom_a, geom_b = pa, pb
+    else:
+        normal, d, fit_ok = gn.fit_planes(neigh, o.plane_fit_tol)
+        geom_a = normal
+        geom_b = jnp.stack([d, jnp.zeros_like(d), jnp.zeros_like(d)], -1)
+
+    # Persistence read (ref: :332-344) on frame-start counters.
+    g5 = map_rg[nn_idx, 1]
+    r5 = map_rg[nn_idx, 0]
+    observe = jnp.mean(g5, axis=1) + 1.0
+    round_ = jnp.mean(r5, axis=1)
+    observe = jnp.where(
+        observe > o.observe_saturate_ratio * round_, o.counter_cap, observe
+    )
+    gated_out = (
+        (observe < round_ * o.theta_p) & (round_ > o.k_new) & (observe < o.theta_max)
+    )
+
+    nc = jnp.mean(neigh, axis=1, keepdims=True)
+    sparsity = jnp.mean(jnp.linalg.norm(neigh - nc, axis=-1), axis=1)
+
+    return _AssocStatic(
+        nn_idx=nn_idx,
+        neigh=neigh,
+        nn_valid=nn_valid,
+        geom_a=geom_a,
+        geom_b=geom_b,
+        fit_ok=fit_ok,
+        pers_ok=~gated_out,
+        observe=observe,
+        round_=round_,
+        sparsity=sparsity,
+    )
+
+
+def _regate(
+    st: _AssocStatic,
+    pose_local: se3.Pose,
+    scan_xyz: jnp.ndarray,
+    gate_sq,
+):
+    """Re-gate the static correspondences under the current pose: a query
+    stays matched iff its worst cached neighbor is within ``gate_sq`` (the
+    refining-pose twin of the reference's 5th-NN gate, ref: :300,:451)."""
+    q_local = se3.transform_points(pose_local, scan_xyz)  # center-relative
+    d5 = jnp.sum((q_local[:, None, :] - st.neigh) ** 2, axis=-1)  # [M,5]
+    gate = jnp.max(d5, axis=1) < gate_sq
+    matched = st.nn_valid & gate & st.fit_ok
+    return matched, matched & st.pers_ok
+
+
 def _halo_escape_count(
     q_world: jnp.ndarray,
     q_valid: jnp.ndarray,
@@ -250,14 +349,16 @@ def _halo_escape_count(
     return escaped.sum().astype(jnp.int32)
 
 
-def _weights(assoc: _Assoc, weight_type: int) -> jnp.ndarray:
+def _weights_from(
+    weight_obs: jnp.ndarray, weight_spr: jnp.ndarray, valid: jnp.ndarray, weight_type: int
+) -> jnp.ndarray:
     """Residual weights by weightType (ref: :389-426, :536-571).  Applied to
     both residual and Jacobian (consistent IRLS; the reference scales only
     residuals — documented divergence, see ops.gauss_newton)."""
     if weight_type == 0:
-        return jnp.ones_like(assoc.weight_obs)
-    w_obs = gn.minmax_normalize_weights(assoc.weight_obs, assoc.valid, floor=0.1)
-    w_spr = gn.minmax_normalize_weights(assoc.weight_spr, assoc.valid, floor=0.0)
+        return jnp.ones_like(weight_obs)
+    w_obs = gn.minmax_normalize_weights(weight_obs, valid, floor=0.1)
+    w_spr = gn.minmax_normalize_weights(weight_spr, valid, floor=0.0)
     if weight_type == 1:
         return w_obs
     if weight_type == 2:
@@ -267,74 +368,16 @@ def _weights(assoc: _Assoc, weight_type: int) -> jnp.ndarray:
     raise ValueError(f"unknown weight_type {weight_type}")
 
 
-def es_step(state: ESState, feat, cfg: PipelineConfig):
-    """One odometry frame (ref ``updatePointsToMap``,
-    src/odomEstimationClass.cpp:229-282).  ``feat`` is a FeatureResult from
-    ops.features.  Returns (new_state, FrameDiag)."""
+def _weights(assoc: _Assoc, weight_type: int) -> jnp.ndarray:
+    return _weights_from(assoc.weight_obs, assoc.weight_spr, assoc.valid, weight_type)
+
+
+def _es_outer_per_iter(
+    cfg, opt_eff, pose0, center, edge_grid, surf_grid, ds_edge, ds_surf, e_bounds, s_bounds
+):
+    """Reference-faithful outer loop: full re-association every iteration
+    (ref: src/odomEstimationClass.cpp:252-272)."""
     o = cfg.odometry
-    cap = cfg.capacity
-
-    opt_count = jnp.maximum(o.min_outer_iters, state.opt_count - 1)
-    pred = se3.constant_velocity_predict(state.pose, state.last_pose)
-    last_pose = state.pose
-
-    # Downsample feature clouds (ref: :242-245; edge at map_resolution, surf
-    # at 2x — the same leaf sizes as the map rgbds).
-    e_xyz, e_valid = _compact(feat.xyz, feat.edge_mask, cap.edge_points)
-    s_xyz, s_valid = _compact(feat.xyz, feat.surf_mask, cap.surf_points)
-    over_e_compact = jnp.maximum(feat.edge_mask.sum() - cap.edge_points, 0)
-    over_s_compact = jnp.maximum(feat.surf_mask.sum() - cap.surf_points, 0)
-    ds_edge, over_ds_e = voxel.voxel_downsample_rgbds_counted(
-        voxel.PointSet(e_xyz, jnp.zeros((cap.edge_points, 2), jnp.float32), e_valid),
-        o.map_resolution,
-        cap.ds_edge_points,
-    )
-    ds_surf, over_ds_s = voxel.voxel_downsample_rgbds_counted(
-        voxel.PointSet(s_xyz, jnp.zeros((cap.surf_points, 2), jnp.float32), s_valid),
-        o.map_resolution * 2.0,
-        cap.ds_surf_points,
-    )
-
-    center = pred.t  # fp32 re-centering origin
-    pose0 = se3.Pose(q=pred.q, t=jnp.zeros(3, jnp.float32))
-
-    enough = (state.edge_map.valid.sum() > 10) & (state.surf_map.valid.sum() > 50)
-    opt_eff = jnp.where(enough, opt_count, 0)
-
-    edge_grid, surf_grid = state.edge_map, state.surf_map
-
-    # Tile-sort each downsampled feature cloud ONCE per frame at the
-    # predicted pose and keep everything downstream (association, GN, map
-    # merge) in sorted order — correspondence order is irrelevant to the GN
-    # reduction and to the voxel-scatter merge, and the kernel's halo margin
-    # absorbs the sub-meter pose refinement across outer iterations.
-    e_bounds = s_bounds = None
-    e_sort = map_state.sort_queries_for_index(
-        edge_grid,
-        se3.transform_points(pred, ds_edge.xyz),
-        ds_edge.valid,
-        cfg,
-        "edge",
-    )
-    if e_sort is not None:
-        s_sort = map_state.sort_queries_for_index(
-            surf_grid,
-            se3.transform_points(pred, ds_surf.xyz),
-            ds_surf.valid,
-            cfg,
-            "surf",
-        )
-        ds_edge = voxel.PointSet(
-            xyz=ds_edge.xyz[e_sort.order],
-            rg=ds_edge.rg[e_sort.order],
-            valid=ds_edge.valid[e_sort.order],
-        )
-        ds_surf = voxel.PointSet(
-            xyz=ds_surf.xyz[s_sort.order],
-            rg=ds_surf.rg[s_sort.order],
-            valid=ds_surf.valid[s_sort.order],
-        )
-        e_bounds, s_bounds = e_sort.bounds, s_sort.bounds
 
     def outer_body(carry):
         q, t_l, e_rg, s_rg, se_rg, ss_rg, _, _, it = carry
@@ -409,6 +452,207 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
     q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns, _ = jax.lax.while_loop(
         outer_cond, outer_body, init
     )
+    return q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns
+
+
+def _es_outer_assoc_once(
+    cfg, opt_eff, pose0, center, edge_grid, surf_grid, ds_edge, ds_surf, e_bounds, s_bounds
+):
+    """Hoisted-association outer loop (OdometryConfig.assoc_once): one kNN +
+    gather + fit + persistence pass per feature type per FRAME; iterations
+    re-gate cached neighbor distances under the refining pose and re-run GN.
+
+    Counter semantics: g increments apply once after the loop, scaled by the
+    number of outer iterations run, approximating the reference's
+    per-iteration increments (ref: :345-346) on frame-start reads."""
+    o = cfg.odometry
+    k = cfg.capacity.knn_k
+
+    ea = _associate_static(
+        "edge", edge_grid, edge_grid.rg, pose0, center,
+        ds_edge.xyz, ds_edge.valid, cfg, e_bounds,
+    )
+    sa = _associate_static(
+        "surf", surf_grid, surf_grid.rg, pose0, center,
+        ds_surf.xyz, ds_surf.valid, cfg, s_bounds,
+    )
+
+    def outer_body(carry):
+        q, t_l, _, _, _, _, it = carry
+        pose_l = se3.Pose(q=q, t=t_l)
+        gate_sq = jnp.where(it == 0, o.nn_gate_wide_sq, o.nn_gate_sq)
+        e_match, e_vc = _regate(ea, pose_l, ds_edge.xyz, gate_sq)
+        s_match, s_vc = _regate(sa, pose_l, ds_surf.xyz, gate_sq)
+
+        factors = [
+            gn.Correspondences(
+                kind="edge",
+                points=ds_edge.xyz,
+                geom_a=ea.geom_a,
+                geom_b=ea.geom_b,
+                weight=_weights_from(ea.observe, ea.sparsity, e_vc, o.weight_type),
+                valid=e_vc,
+            ),
+            gn.Correspondences(
+                kind="surf",
+                points=ds_surf.xyz,
+                geom_a=sa.geom_a,
+                geom_b=sa.geom_b,
+                weight=_weights_from(sa.observe, sa.sparsity, s_vc, o.weight_type),
+                valid=s_vc,
+            ),
+        ]
+
+        def inner(_, pose):
+            new_pose, _ = gn.gn_iteration(pose, factors, o.huber_delta, o.gn_damping)
+            return new_pose
+
+        pose_l = jax.lax.fori_loop(0, o.inner_gn_iters, inner, pose_l)
+        return (pose_l.q, pose_l.t, e_match, s_match, e_vc, s_vc, it + 1)
+
+    def outer_cond(carry):
+        return carry[-1] < opt_eff
+
+    init = (
+        pose0.q,
+        pose0.t,
+        jnp.zeros(ds_edge.xyz.shape[0], bool),
+        jnp.zeros(ds_surf.xyz.shape[0], bool),
+        jnp.zeros(ds_edge.xyz.shape[0], bool),
+        jnp.zeros(ds_surf.xyz.shape[0], bool),
+        jnp.asarray(0, jnp.int32),
+    )
+    q, t_l, e_match, s_match, e_vc, s_vc, _ = jax.lax.while_loop(
+        outer_cond, outer_body, init
+    )
+
+    # g increments (ref: :345-346, pre-persistence-gate matches), applied
+    # once, scaled by the iterations run.
+    scale = opt_eff.astype(jnp.float32)
+
+    def apply_inc(grid, nn_idx, match):
+        inc = jnp.zeros(grid.rg.shape[0], jnp.float32)
+        inc = inc.at[nn_idx.reshape(-1)].add(
+            jnp.repeat(match.astype(jnp.float32), k), mode="drop"
+        )
+        return grid.rg.at[:, 1].set(
+            jnp.minimum(o.counter_cap, grid.rg[:, 1] + inc * scale)
+        )
+
+    e_rg = apply_inc(edge_grid, ea.nn_idx, e_match)
+    s_rg = apply_inc(surf_grid, sa.nn_idx, s_match)
+
+    # Scan-point r/g writeback for map-merge (ref: :354-355).
+    def writeback(st, vc, ds_rg):
+        new_rg = jnp.stack(
+            [
+                jnp.minimum(o.counter_cap, jnp.floor(st.round_)),
+                jnp.minimum(o.counter_cap, jnp.floor(st.observe)),
+            ],
+            -1,
+        )
+        return jnp.where(vc[:, None], new_rg, ds_rg)
+
+    se_rg = writeback(ea, e_vc, ds_edge.rg)
+    ss_rg = writeback(sa, s_vc, ds_surf.rg)
+    return q, t_l, e_rg, s_rg, se_rg, ss_rg, e_vc.sum(), s_vc.sum()
+
+
+def es_step(state: ESState, feat, cfg: PipelineConfig):
+    """One odometry frame (ref ``updatePointsToMap``,
+    src/odomEstimationClass.cpp:229-282).  ``feat`` is a FeatureResult from
+    ops.features.  Returns (new_state, FrameDiag)."""
+    o = cfg.odometry
+    cap = cfg.capacity
+
+    opt_count = jnp.maximum(o.min_outer_iters, state.opt_count - 1)
+    pred = se3.constant_velocity_predict(state.pose, state.last_pose)
+    last_pose = state.pose
+
+    # Downsample feature clouds (ref: :242-245; edge at map_resolution, surf
+    # at 2x — the same leaf sizes as the map rgbds).
+    e_xyz, e_valid = _compact(feat.xyz, feat.edge_mask, cap.edge_points)
+    s_xyz, s_valid = _compact(feat.xyz, feat.surf_mask, cap.surf_points)
+    over_e_compact = jnp.maximum(feat.edge_mask.sum() - cap.edge_points, 0)
+    over_s_compact = jnp.maximum(feat.surf_mask.sum() - cap.surf_points, 0)
+    ds_edge, over_ds_e = voxel.voxel_downsample_rgbds_counted(
+        voxel.PointSet(e_xyz, jnp.zeros((cap.edge_points, 2), jnp.float32), e_valid),
+        o.map_resolution,
+        cap.ds_edge_points,
+    )
+    ds_surf, over_ds_s = voxel.voxel_downsample_rgbds_counted(
+        voxel.PointSet(s_xyz, jnp.zeros((cap.surf_points, 2), jnp.float32), s_valid),
+        o.map_resolution * 2.0,
+        cap.ds_surf_points,
+    )
+
+    center = pred.t  # fp32 re-centering origin
+    pose0 = se3.Pose(q=pred.q, t=jnp.zeros(3, jnp.float32))
+
+    enough = (state.edge_map.valid.sum() > 10) & (state.surf_map.valid.sum() > 50)
+    opt_eff = jnp.where(enough, opt_count, 0)
+
+    edge_grid, surf_grid = state.edge_map, state.surf_map
+
+    # Tile-sort each downsampled feature cloud ONCE per frame at the
+    # predicted pose and keep everything downstream (association, GN, map
+    # merge) in sorted order — correspondence order is irrelevant to the GN
+    # reduction and to the voxel-scatter merge, and the kernel's halo margin
+    # absorbs the sub-meter pose refinement across outer iterations.
+    e_bounds = s_bounds = None
+    e_sort = map_state.sort_queries_for_index(
+        edge_grid,
+        se3.transform_points(pred, ds_edge.xyz),
+        ds_edge.valid,
+        cfg,
+        "edge",
+    )
+    if e_sort is not None:
+        s_sort = map_state.sort_queries_for_index(
+            surf_grid,
+            se3.transform_points(pred, ds_surf.xyz),
+            ds_surf.valid,
+            cfg,
+            "surf",
+        )
+        ds_edge = voxel.PointSet(
+            xyz=ds_edge.xyz[e_sort.order],
+            rg=ds_edge.rg[e_sort.order],
+            valid=ds_edge.valid[e_sort.order],
+        )
+        ds_surf = voxel.PointSet(
+            xyz=ds_surf.xyz[s_sort.order],
+            rg=ds_surf.rg[s_sort.order],
+            valid=ds_surf.valid[s_sort.order],
+        )
+        e_bounds, s_bounds = e_sort.bounds, s_sort.bounds
+
+    if o.assoc_once:
+        (q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns) = _es_outer_assoc_once(
+            cfg,
+            opt_eff,
+            pose0,
+            center,
+            edge_grid,
+            surf_grid,
+            ds_edge,
+            ds_surf,
+            e_bounds,
+            s_bounds,
+        )
+    else:
+        (q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns) = _es_outer_per_iter(
+            cfg,
+            opt_eff,
+            pose0,
+            center,
+            edge_grid,
+            surf_grid,
+            ds_edge,
+            ds_surf,
+            e_bounds,
+            s_bounds,
+        )
 
     pose = se3.Pose(q=q, t=t_l + center)
 

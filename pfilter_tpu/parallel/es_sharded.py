@@ -273,6 +273,134 @@ def _sharded_associate(
     )
 
 
+class _ShardAssocStatic(NamedTuple):
+    """Frame-invariant half of the collective association (assoc_once=True):
+    global 5-NN merge + fits + persistence reads at the predicted pose, with
+    everything needed to re-gate per iteration and to route g-increments and
+    scan writebacks after the loop.  Per-shard query-slice arrays [Qs, ...]."""
+
+    points: jnp.ndarray  # [Qs,3] scan points (sensor frame), my slice
+    neigh: jnp.ndarray  # [Qs,5,3] merged neighbors, center-relative
+    nn_valid: jnp.ndarray  # [Qs]
+    geom_a: jnp.ndarray  # [Qs,3]
+    geom_b: jnp.ndarray  # [Qs,3]
+    fit_ok: jnp.ndarray  # [Qs]
+    pers_ok: jnp.ndarray  # [Qs]
+    observe: jnp.ndarray  # [Qs]
+    round_: jnp.ndarray  # [Qs]
+    sparsity: jnp.ndarray  # [Qs]
+    shard5: jnp.ndarray  # [Qs,5] owner shard of each merged neighbor
+    lidx5: jnp.ndarray  # [Qs,5] owner-local slot ids
+    prg_s: jnp.ndarray  # [Qs,2] incoming scan r/g (writeback fallback)
+
+
+def _sharded_associate_static(
+    kind, grid, map_rg, pose_l, center, scan_xyz, scan_valid, scan_rg, cfg,
+    n_map, qsort_bounds=None,
+):
+    """Collective pose-independent association (the sharded twin of
+    es_odometry._associate_static)."""
+    o, c = cfg.odometry, cfg.capacity
+    k = c.knn_k
+    q = scan_xyz.shape[0]
+    qs = q // n_map
+    me = lax.axis_index(MAP_AXIS)
+
+    q_world = se3.transform_points(pose_l, scan_xyz) + center
+    if qsort_bounds is not None:
+        nn_idx, nn_sq = map_state.query_index_presorted(
+            grid, q_world, qsort_bounds, cfg, kind
+        )
+        nn_sq = jnp.where(scan_valid[:, None], nn_sq, jnp.inf)
+    else:
+        res = knn.knn_query(grid, q_world, scan_valid, k, c.knn_candidates_per_cell)
+        nn_idx, nn_sq = res.idx, res.sqdist
+    nxyz = grid.xyz[nn_idx]
+    nrg = map_rg[nn_idx]
+
+    g_sq, g_xyz, g_rg, g_idx = lax.all_gather((nn_sq, nxyz, nrg, nn_idx), MAP_AXIS)
+    comb_sq = jnp.moveaxis(g_sq, 0, 1).reshape(q, n_map * k)
+    comb_xyz = jnp.moveaxis(g_xyz, 0, 1).reshape(q, n_map * k, 3)
+    comb_rg = jnp.moveaxis(g_rg, 0, 1).reshape(q, n_map * k, 2)
+    comb_idx = jnp.moveaxis(g_idx, 0, 1).reshape(q, n_map * k)
+
+    neg, sel = lax.top_k(-comb_sq, k)
+    sq5 = -neg
+    xyz5 = jnp.take_along_axis(comb_xyz, sel[..., None], 1)
+    rg5 = jnp.take_along_axis(comb_rg, sel[..., None], 1)
+    lidx5 = jnp.take_along_axis(comb_idx, sel, 1)
+    shard5 = sel // k
+
+    def sl(a):
+        return lax.dynamic_slice_in_dim(a, me * qs, qs, 0)
+
+    sq5_s, xyz5_s, rg5_s, lidx5_s, shard5_s = map(sl, (sq5, xyz5, rg5, lidx5, shard5))
+    pts_s, pvalid_s, prg_s = sl(scan_xyz), sl(scan_valid), sl(scan_rg)
+
+    nn_valid = pvalid_s & jnp.isfinite(sq5_s[:, k - 1])
+    neigh = xyz5_s - center
+    if map_state.is_line_kind(kind):
+        pa, pb, fit_ok = gn.fit_lines(neigh, o.line_eig_ratio, o.line_half_length)
+        geom_a, geom_b = pa, pb
+    else:
+        normal, d, fit_ok = gn.fit_planes(neigh, o.plane_fit_tol)
+        geom_a = normal
+        geom_b = jnp.stack([d, jnp.zeros_like(d), jnp.zeros_like(d)], -1)
+
+    observe = jnp.mean(rg5_s[..., 1], axis=1) + 1.0
+    round_ = jnp.mean(rg5_s[..., 0], axis=1)
+    observe = jnp.where(observe > o.observe_saturate_ratio * round_, o.counter_cap, observe)
+    gated_out = (observe < round_ * o.theta_p) & (round_ > o.k_new) & (observe < o.theta_max)
+
+    nc = jnp.mean(neigh, axis=1, keepdims=True)
+    sparsity = jnp.mean(jnp.linalg.norm(neigh - nc, axis=-1), axis=1)
+
+    return _ShardAssocStatic(
+        points=pts_s,
+        neigh=neigh,
+        nn_valid=nn_valid,
+        geom_a=geom_a,
+        geom_b=geom_b,
+        fit_ok=fit_ok,
+        pers_ok=~gated_out,
+        observe=observe,
+        round_=round_,
+        sparsity=sparsity,
+        shard5=shard5_s,
+        lidx5=lidx5_s,
+        prg_s=prg_s,
+    )
+
+
+def _sharded_regate(st: _ShardAssocStatic, pose_l, gate_sq):
+    q_local = se3.transform_points(pose_l, st.points)
+    d5 = jnp.sum((q_local[:, None, :] - st.neigh) ** 2, axis=-1)
+    gate = jnp.max(d5, axis=1) < gate_sq
+    matched = st.nn_valid & gate & st.fit_ok
+    return matched, matched & st.pers_ok
+
+
+def _sharded_weights_static(st: _ShardAssocStatic, valid, weight_type: int):
+    if weight_type == 0:
+        return jnp.ones_like(st.observe)
+
+    def norm(values, floor):
+        vmin, vmax = gn.masked_minmax(values, valid)
+        vmin = lax.pmin(vmin, MAP_AXIS)
+        vmax = lax.pmax(vmax, MAP_AXIS)
+        return gn.fold_normalize(values, vmin, vmax, floor)
+
+    w_obs = norm(st.observe, 0.1)
+    w_spr = norm(st.sparsity, 0.0)
+    if weight_type == 1:
+        return w_obs
+    if weight_type == 2:
+        return w_spr
+    if weight_type == 12:
+        return 0.5 * (w_obs + w_spr)
+    raise ValueError(weight_type)
+
+
 def _sharded_weights(assoc: _ShardAssoc, weight_type: int):
     """Weight normalization with cross-shard min/max (pmin/pmax over ICI)."""
     if weight_type == 0:
@@ -324,6 +452,168 @@ def _sharded_merge(
     ds = voxel.age_points(ds, o.aging_increment, o.counter_cap)
     origin = knn.grid_origin_for_pose(pose_t, cell)
     return knn.build_grid(ds.xyz, ds.rg, ds.valid, origin, cell), n_dropped
+
+
+def _sharded_outer_per_iter(
+    cfg, opt_eff, pose0, center, edge_grid, surf_grid, ds_edge, ds_surf,
+    e_bounds, s_bounds, n_map,
+):
+    """Reference-faithful sharded outer loop: full collective re-association
+    every iteration."""
+    o = cfg.odometry
+
+    def outer_body(carry):
+        q, t_l, e_rg, s_rg, se_rg, ss_rg, _, _, it = carry
+        pose_l = se3.Pose(q=q, t=t_l)
+        # Coarse-to-fine gate schedule — must mirror es_odometry.es_step
+        # exactly (n_map=1 equivalence).
+        gate_sq = jnp.where(it == 0, o.nn_gate_wide_sq, o.nn_gate_sq)
+
+        ea = _sharded_associate(
+            "edge", edge_grid, e_rg, pose_l, center, ds_edge.xyz, ds_edge.valid,
+            se_rg, cfg, n_map, qsort_bounds=e_bounds, gate_sq=gate_sq,
+        )
+        sa = _sharded_associate(
+            "surf", surf_grid, s_rg, pose_l, center, ds_surf.xyz, ds_surf.valid,
+            ss_rg, cfg, n_map, qsort_bounds=s_bounds, gate_sq=gate_sq,
+        )
+        e_rg = e_rg.at[:, 1].set(ea.map_g_new)
+        s_rg = s_rg.at[:, 1].set(sa.map_g_new)
+
+        ew = _sharded_weights(ea, o.weight_type)
+        sw = _sharded_weights(sa, o.weight_type)
+
+        def inner(_, pose):
+            re, je = gn.edge_residual_jacobian(pose, ea.points, ea.geom_a, ea.geom_b)
+            rs, js = gn.surf_residual_jacobian(pose, sa.points, sa.geom_a, sa.geom_b[:, 0])
+            h = jnp.zeros((6, 6), jnp.float32)
+            b = jnp.zeros(6, jnp.float32)
+            for r, j, w, v in ((re, je, ew, ea.valid), (rs, js, sw, sa.valid)):
+                rw, jw = r * w, j * w[:, None]
+                irls = gn.huber_irls_weight(rw, o.huber_delta)
+                hi, bi = gn.normal_equations(rw, jw, irls, v)
+                h, b = h + hi, b + bi
+            h = lax.psum(h, MAP_AXIS)
+            b = lax.psum(b, MAP_AXIS)
+            delta = gn.solve_step(h, b, o.gn_damping)
+            return se3.pose_update_left(delta, pose)
+
+        pose_l = lax.fori_loop(0, o.inner_gn_iters, inner, pose_l)
+        ne = lax.psum(ea.valid.sum(), MAP_AXIS)
+        ns = lax.psum(sa.valid.sum(), MAP_AXIS)
+        return (pose_l.q, pose_l.t, e_rg, s_rg, ea.scan_rg_full, sa.scan_rg_full, ne, ns, it + 1)
+
+    init = (
+        pose0.q,
+        pose0.t,
+        edge_grid.rg,
+        surf_grid.rg,
+        ds_edge.rg,
+        ds_surf.rg,
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+        jnp.asarray(0, jnp.int32),
+    )
+    q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns, _ = lax.while_loop(
+        lambda c: c[-1] < opt_eff, outer_body, init
+    )
+    return q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns
+
+
+def _sharded_outer_assoc_once(
+    cfg, opt_eff, pose0, center, edge_grid, surf_grid, ds_edge, ds_surf,
+    e_bounds, s_bounds, n_map,
+):
+    """Hoisted-association sharded outer loop (OdometryConfig.assoc_once):
+    ONE collective 5-NN merge per feature type per frame; iterations re-gate
+    the cached merged neighbors and psum-reduce the GN normal equations.
+    Mirrors es_odometry._es_outer_assoc_once so n_map=1 matches single-chip."""
+    o = cfg.odometry
+    k = cfg.capacity.knn_k
+
+    ea = _sharded_associate_static(
+        "edge", edge_grid, edge_grid.rg, pose0, center,
+        ds_edge.xyz, ds_edge.valid, ds_edge.rg, cfg, n_map, qsort_bounds=e_bounds,
+    )
+    sa = _sharded_associate_static(
+        "surf", surf_grid, surf_grid.rg, pose0, center,
+        ds_surf.xyz, ds_surf.valid, ds_surf.rg, cfg, n_map, qsort_bounds=s_bounds,
+    )
+    qs_e = ea.points.shape[0]
+    qs_s = sa.points.shape[0]
+
+    def outer_body(carry):
+        q, t_l, _, _, _, _, it = carry
+        pose_l = se3.Pose(q=q, t=t_l)
+        gate_sq = jnp.where(it == 0, o.nn_gate_wide_sq, o.nn_gate_sq)
+        e_match, e_vc = _sharded_regate(ea, pose_l, gate_sq)
+        s_match, s_vc = _sharded_regate(sa, pose_l, gate_sq)
+
+        ew = _sharded_weights_static(ea, e_vc, o.weight_type)
+        sw = _sharded_weights_static(sa, s_vc, o.weight_type)
+
+        def inner(_, pose):
+            re, je = gn.edge_residual_jacobian(pose, ea.points, ea.geom_a, ea.geom_b)
+            rs, js = gn.surf_residual_jacobian(pose, sa.points, sa.geom_a, sa.geom_b[:, 0])
+            h = jnp.zeros((6, 6), jnp.float32)
+            b = jnp.zeros(6, jnp.float32)
+            for r, j, w, v in ((re, je, ew, e_vc), (rs, js, sw, s_vc)):
+                rw, jw = r * w, j * w[:, None]
+                irls = gn.huber_irls_weight(rw, o.huber_delta)
+                hi, bi = gn.normal_equations(rw, jw, irls, v)
+                h, b = h + hi, b + bi
+            h = lax.psum(h, MAP_AXIS)
+            b = lax.psum(b, MAP_AXIS)
+            delta = gn.solve_step(h, b, o.gn_damping)
+            return se3.pose_update_left(delta, pose)
+
+        pose_l = lax.fori_loop(0, o.inner_gn_iters, inner, pose_l)
+        return (pose_l.q, pose_l.t, e_match, s_match, e_vc, s_vc, it + 1)
+
+    init = (
+        pose0.q,
+        pose0.t,
+        jnp.zeros(qs_e, bool),
+        jnp.zeros(qs_s, bool),
+        jnp.zeros(qs_e, bool),
+        jnp.zeros(qs_s, bool),
+        jnp.asarray(0, jnp.int32),
+    )
+    q, t_l, e_match, s_match, e_vc, s_vc, _ = lax.while_loop(
+        lambda c: c[-1] < opt_eff, outer_body, init
+    )
+
+    me = lax.axis_index(MAP_AXIS)
+    scale = opt_eff.astype(jnp.float32)
+
+    def apply_inc(grid, st, match):
+        a_shard, a_lidx, a_match = lax.all_gather(
+            (st.shard5, st.lidx5, jnp.broadcast_to(match[:, None], match.shape + (k,))),
+            MAP_AXIS,
+        )
+        inc_here = jnp.where(a_shard == me, a_match.astype(jnp.float32), 0.0).reshape(-1)
+        g_new = grid.rg[:, 1].at[a_lidx.reshape(-1)].add(inc_here * scale, mode="drop")
+        return grid.rg.at[:, 1].set(jnp.minimum(o.counter_cap, g_new))
+
+    e_rg = apply_inc(edge_grid, ea, e_match)
+    s_rg = apply_inc(surf_grid, sa, s_match)
+
+    def writeback(st, vc):
+        new_rg = jnp.stack(
+            [
+                jnp.minimum(o.counter_cap, jnp.floor(st.round_)),
+                jnp.minimum(o.counter_cap, jnp.floor(st.observe)),
+            ],
+            -1,
+        )
+        slice_rg = jnp.where(vc[:, None], new_rg, st.prg_s)
+        return lax.all_gather(slice_rg, MAP_AXIS).reshape(-1, 2)
+
+    se_rg = writeback(ea, e_vc)
+    ss_rg = writeback(sa, s_vc)
+    ne = lax.psum(e_vc.sum(), MAP_AXIS)
+    ns = lax.psum(s_vc.sum(), MAP_AXIS)
+    return q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns
 
 
 def _first_frame_block(state, feat, cfg: PipelineConfig, n_map: int):
@@ -400,61 +690,16 @@ def _es_step_block(state, feat, cfg: PipelineConfig, n_map: int):
         )
         e_bounds, s_bounds = e_sort.bounds, s_sort.bounds
 
-    def outer_body(carry):
-        q, t_l, e_rg, s_rg, se_rg, ss_rg, _, _, it = carry
-        pose_l = se3.Pose(q=q, t=t_l)
-        # Coarse-to-fine gate schedule — must mirror es_odometry.es_step
-        # exactly (n_map=1 equivalence).
-        gate_sq = jnp.where(it == 0, o.nn_gate_wide_sq, o.nn_gate_sq)
-
-        ea = _sharded_associate(
-            "edge", edge_grid, e_rg, pose_l, center, ds_edge.xyz, ds_edge.valid,
-            se_rg, cfg, n_map, qsort_bounds=e_bounds, gate_sq=gate_sq,
+    if o.assoc_once:
+        q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns = _sharded_outer_assoc_once(
+            cfg, opt_eff, pose0, center, edge_grid, surf_grid,
+            ds_edge, ds_surf, e_bounds, s_bounds, n_map,
         )
-        sa = _sharded_associate(
-            "surf", surf_grid, s_rg, pose_l, center, ds_surf.xyz, ds_surf.valid,
-            ss_rg, cfg, n_map, qsort_bounds=s_bounds, gate_sq=gate_sq,
+    else:
+        q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns = _sharded_outer_per_iter(
+            cfg, opt_eff, pose0, center, edge_grid, surf_grid,
+            ds_edge, ds_surf, e_bounds, s_bounds, n_map,
         )
-        e_rg = e_rg.at[:, 1].set(ea.map_g_new)
-        s_rg = s_rg.at[:, 1].set(sa.map_g_new)
-
-        ew = _sharded_weights(ea, o.weight_type)
-        sw = _sharded_weights(sa, o.weight_type)
-
-        def inner(_, pose):
-            re, je = gn.edge_residual_jacobian(pose, ea.points, ea.geom_a, ea.geom_b)
-            rs, js = gn.surf_residual_jacobian(pose, sa.points, sa.geom_a, sa.geom_b[:, 0])
-            h = jnp.zeros((6, 6), jnp.float32)
-            b = jnp.zeros(6, jnp.float32)
-            for r, j, w, v in ((re, je, ew, ea.valid), (rs, js, sw, sa.valid)):
-                rw, jw = r * w, j * w[:, None]
-                irls = gn.huber_irls_weight(rw, o.huber_delta)
-                hi, bi = gn.normal_equations(rw, jw, irls, v)
-                h, b = h + hi, b + bi
-            h = lax.psum(h, MAP_AXIS)
-            b = lax.psum(b, MAP_AXIS)
-            delta = gn.solve_step(h, b, o.gn_damping)
-            return se3.pose_update_left(delta, pose)
-
-        pose_l = lax.fori_loop(0, o.inner_gn_iters, inner, pose_l)
-        ne = lax.psum(ea.valid.sum(), MAP_AXIS)
-        ns = lax.psum(sa.valid.sum(), MAP_AXIS)
-        return (pose_l.q, pose_l.t, e_rg, s_rg, ea.scan_rg_full, sa.scan_rg_full, ne, ns, it + 1)
-
-    init = (
-        pose0.q,
-        pose0.t,
-        edge_grid.rg,
-        surf_grid.rg,
-        ds_edge.rg,
-        ds_surf.rg,
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(0, jnp.int32),
-        jnp.asarray(0, jnp.int32),
-    )
-    q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns, _ = lax.while_loop(
-        lambda c: c[-1] < opt_eff, outer_body, init
-    )
     pose = se3.Pose(q=q, t=t_l + center)
 
     # Device-side corrupt-frame guard — identical to the single-chip step

@@ -24,7 +24,14 @@ from pfilter_tpu.ops import se3
 
 
 class World(NamedTuple):
-    """Axis-aligned world primitives (all jnp arrays)."""
+    """Axis-aligned world primitives.
+
+    Leaves are HOST numpy arrays on purpose: worlds are closed over by jitted
+    renderers, and np constants embed into the HLO at trace time with ZERO
+    eager device ops — jnp leaves would each be built by an eager device op,
+    and eager dispatch over the shared device tunnel can stall for seconds
+    under congestion (measured: a handful of trace-time eager ops turned
+    bench startup into a multi-minute hang)."""
 
     walls_x: jnp.ndarray  # [Wx, 5]: x, y0, y1, z0, z1  (plane x = const)
     walls_y: jnp.ndarray  # [Wy, 5]: y, x0, x1, z0, z1  (plane y = const)
@@ -35,9 +42,9 @@ class World(NamedTuple):
     # half_l, height, phase.  At time t the box center is c0 + v * t; points
     # on movers violate the static-world assumption and must be rejected /
     # evicted by the persistence filter.
-    movers: jnp.ndarray = jnp.zeros((0, 8), jnp.float32)
+    movers: jnp.ndarray = np.zeros((0, 8), np.float32)
     # Static clutter spheres (foliage blobs / bushes): [C, 4] = cx, cy, cz, r.
-    clutter: jnp.ndarray = jnp.zeros((0, 4), jnp.float32)
+    clutter: jnp.ndarray = np.zeros((0, 4), np.float32)
 
 
 def beam_elevations(num_lines: int) -> np.ndarray:
@@ -120,12 +127,12 @@ def make_world(
         clutter.append([cx, cy, r * rng.uniform(0.8, 1.4), r])
 
     return World(
-        walls_x=jnp.array(walls_x, jnp.float32),
-        walls_y=jnp.array(walls_y, jnp.float32),
-        poles=jnp.array(poles, jnp.float32),
+        walls_x=np.array(walls_x, np.float32).reshape(-1, 5),
+        walls_y=np.array(walls_y, np.float32).reshape(-1, 5),
+        poles=np.array(poles, np.float32).reshape(-1, 4),
         ground_z=0.0,
-        movers=jnp.array(movers, jnp.float32).reshape(-1, 8),
-        clutter=jnp.array(clutter, jnp.float32).reshape(-1, 4),
+        movers=np.array(movers, np.float32).reshape(-1, 8),
+        clutter=np.array(clutter, np.float32).reshape(-1, 4),
     )
 
 
@@ -245,12 +252,12 @@ def make_city_world(
                            rng.uniform(1.3, 2.0), 0.0])
 
     return World(
-        walls_x=jnp.array(walls_x, jnp.float32),
-        walls_y=jnp.array(walls_y, jnp.float32),
-        poles=jnp.array(poles, jnp.float32),
+        walls_x=np.array(walls_x, np.float32).reshape(-1, 5),
+        walls_y=np.array(walls_y, np.float32).reshape(-1, 5),
+        poles=np.array(poles, np.float32).reshape(-1, 4),
         ground_z=0.0,
-        movers=jnp.array(movers, jnp.float32).reshape(-1, 8),
-        clutter=jnp.array(clutter, jnp.float32).reshape(-1, 4),
+        movers=np.array(movers, np.float32).reshape(-1, 8),
+        clutter=np.array(clutter, np.float32).reshape(-1, 4),
     )
 
 
@@ -343,7 +350,9 @@ def make_loop_trajectory(
          np.sin(heading / 2)], -1,
     ).astype(np.float32)
     ts_ = np.stack([xy[:, 0], xy[:, 1], np.full(len(xy), 1.73)], -1).astype(np.float32)
-    return se3.Pose(q=jnp.array(qs), t=jnp.array(ts_))
+    # np leaves: callers index per-frame on the host (free) and jit converts
+    # at dispatch; jnp leaves would cost one eager device op per access.
+    return se3.Pose(q=qs, t=ts_)
 
 
 def make_trajectory(
@@ -361,7 +370,7 @@ def make_trajectory(
         -1,
     ).astype(np.float32)
     ts = np.stack([x, y, np.full_like(x, 1.73)], -1).astype(np.float32)
-    return se3.Pose(q=jnp.array(qs), t=jnp.array(ts))
+    return se3.Pose(q=qs, t=ts)
 
 
 def _ray_world_hits(origins, dirs, world: World, max_range: float, t_time=0.0):
@@ -459,21 +468,21 @@ def render_scan(
     """Ray-cast one scan.  Returns (xyz_sensor [R*A, 3], valid [R*A]) in
     ring-major order (matching the within-ring azimuth ordering the feature
     extractor expects).  ``t_time`` (frame index) advances dynamic movers."""
-    elev = jnp.array(np.radians(beam_elevations(lidar.num_lines)), jnp.float32)
-    az = jnp.array(
-        np.linspace(0, 2 * np.pi, n_azimuth, endpoint=False).astype(np.float32)
-    )
-    ce, se_ = jnp.cos(elev), jnp.sin(elev)
-    ca, sa = jnp.cos(az), jnp.sin(az)
+    # Beam direction table in pure numpy: it is a trace-time constant, and
+    # np keeps its construction off the device (see World docstring).
+    elev = np.radians(beam_elevations(lidar.num_lines)).astype(np.float32)
+    az = np.linspace(0, 2 * np.pi, n_azimuth, endpoint=False).astype(np.float32)
+    ce, se_ = np.cos(elev), np.sin(elev)
+    ca, sa = np.cos(az), np.sin(az)
     # [R, A, 3] sensor-frame directions, ring-major.
-    dirs_sensor = jnp.stack(
+    dirs_sensor = np.stack(
         [
             ce[:, None] * ca[None, :],
             ce[:, None] * sa[None, :],
-            jnp.broadcast_to(se_[:, None], (elev.shape[0], n_azimuth)),
+            np.broadcast_to(se_[:, None], (elev.shape[0], n_azimuth)),
         ],
         -1,
-    ).reshape(-1, 3)
+    ).reshape(-1, 3).astype(np.float32)
 
     dirs_world = se3.quat_rotate(pose.q, dirs_sensor)
     origins = jnp.broadcast_to(pose.t, dirs_world.shape)
@@ -498,16 +507,16 @@ def render_sequence(
     """Render all frames (jit + scan).  Returns (xyz [F, R*A, 3], valid [F, R*A])."""
 
     @jax.jit
-    def one(i):
-        pose = se3.Pose(q=poses.q[i], t=poses.t[i])
+    def one(q, t, i):
         return render_scan(
-            pose, world, lidar, n_azimuth, noise=noise, seed=i, t_time=i
+            se3.Pose(q=q, t=t), world, lidar, n_azimuth, noise=noise, seed=i, t_time=i
         )
 
-    n = poses.t.shape[0]
+    n = np.asarray(poses.t).shape[0]
+    q_np, t_np = np.asarray(poses.q), np.asarray(poses.t)
     xs, vs = [], []
     for i in range(n):
-        x, v = one(i)
+        x, v = one(q_np[i], t_np[i], i)
         xs.append(x)
         vs.append(v)
     return jnp.stack(xs), jnp.stack(vs)
