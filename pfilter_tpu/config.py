@@ -52,6 +52,13 @@ class FeatureConfig:
     # = 220, so 256 is exact for any input.  Validated in __post_init__ so a
     # YAML/CLI override of the pick params can't silently truncate edges.
     pick_candidates: int = 256
+    # Keep every Nth surf candidate within each ring (1 = all, the
+    # reference's behavior: every unpicked point goes to the surf cloud,
+    # src/laserProcessingClass.cpp:198-205).  The surf cloud is voxelized at
+    # 2x map_resolution before registration, which collapses in-ring
+    # neighbors (~3 cm apart at HDL-64 density) into one centroid anyway —
+    # stride-2 halves every downstream sort at sub-centimeter centroid cost.
+    surf_decimate: int = 1
 
     def __post_init__(self):
         need = self.max_edge_per_sector * (2 * self.suppression_radius + 1)
@@ -244,19 +251,27 @@ def kitti_config() -> PipelineConfig:
     rather than generous."""
     return PipelineConfig(
         lidar=LidarConfig(num_lines=64, max_distance=90.0, min_distance=3.0),
+        # surf_decimate=2 buys ~11% fps for ~14% drift on the city circuit
+        # (26.2 fps/0.475% vs 23.7 fps/0.418%) — accuracy wins by default;
+        # override features.surf_decimate=2 when throughput matters more.
+        features=FeatureConfig(surf_decimate=1),
         # weight_type=2 (map-sparsity weighting) is the reference's launch
         # default (launch/pfilter_kitti.launch:8); ABLATION_r02.json measures
         # it slightly ahead of weighting-off on drift/rotation/ATE.
         odometry=OdometryConfig(
             k_new=0.0, theta_p=0.4, theta_max=75.0, map_resolution=0.4, weight_type=2
         ),
+        # Capacities sized 3-6x the MEASURED steady-state occupancy on the
+        # KITTI-like city world (HDL-64, 1800 azimuth: ~100k valid returns,
+        # ~750 edge features, ~600 ds-edge voxels, ~5.7k ds-surf voxels,
+        # edge map ~3.1k, surf map ~9.9k).  Every sort/merge/kNN/scatter
+        # cost scales with capacity, not occupancy, and all eight overflow
+        # lanes fail loudly if a denser world ever fills one — raise the cap
+        # that overflows, not all of them.
         capacity=CapacityConfig(
-            edge_map_points=32768,
-            # Sized ~3x the measured steady-state occupancy (surf ~20-26k
-            # voxels at 0.8 m leaf inside the 100 m crop with persistence
-            # eviction on) — every map sort/merge/scatter cost scales with
-            # this capacity, and overflow lanes 4/5 fail loudly if a denser
-            # world ever fills it.
+            ds_edge_points=2048,
+            ds_surf_points=16384,
+            edge_map_points=16384,
             surf_map_points=65536,
             # Tile caps sized to measured worst-case 3-tile halo-row
             # occupancy on the KITTI-like city world (edge rows peak ~490 of

@@ -294,6 +294,11 @@ def extract_features(
     edge_sel = edge_sel.at[r_rsk, jnp.where(edge_c, cpos, C)].set(True, mode="drop")
 
     surf_sel = curv_valid & ~picked
+    if feat.surf_decimate > 1:
+        # Within-ring azimuth stride (see FeatureConfig.surf_decimate): the
+        # dense grid's column axis is azimuth order, so `pos % N` keeps every
+        # Nth return per ring — uniform angular thinning, not a spatial bias.
+        surf_sel = surf_sel & (pos % feat.surf_decimate == 0)
     return FeatureResult(
         xyz=grid.xyz.reshape(-1, 3),
         edge_mask=edge_sel.reshape(-1),
