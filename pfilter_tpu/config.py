@@ -207,6 +207,12 @@ class DCVCConfig:
 class PCAClassifyConfig:
     """PCA beam/pillar/facade classifier (ref: include/preProcess.hpp:616-736)."""
 
+    # Moment accumulation: "voxel" = sort + segment-reduce + 27-voxel gather
+    # (exact cube neighborhood of edge 3*voxel_leaf, no capacity truncation,
+    # ~16x faster on raw scans — see ops/pca_voxel.py); "radius" = Pallas
+    # exact-ball kernel (ops/pca_radius.py, capped by frontend_tile_cap).
+    impl: str = "voxel"
+    voxel_leaf: float = 0.7
     neighbor_radius: float = 1.0
     neighbor_k: int = 25
     linear_vertical: float = 0.65  # linearity threshold (ref: :709-721)

@@ -16,7 +16,7 @@ import jax
 import jax.numpy as jnp
 
 from pfilter_tpu.config import PipelineConfig
-from pfilter_tpu.ops import dcvc, ground, knn_tiled, pca_classify, pca_radius
+from pfilter_tpu.ops import dcvc, ground, knn_tiled, pca_classify, pca_radius, pca_voxel
 
 
 class FrontendResult(NamedTuple):
@@ -61,40 +61,55 @@ def run_frontend(
         c = dcvc.cluster(xyz, nonground, cfg.dcvc, cfg.lidar)
         nonground = c.keep
 
-    # Radius-PCA over the non-ground cloud against itself.  The raw scan is
-    # far denser near the sensor than any voxelized map, so it gets its own
-    # tile capacity (cfg.capacity.frontend_tile_cap) — sized to measured
-    # city-world halo-row occupancy, not the map caps (VERDICT r1 weak #6).
-    cap = cfg.capacity
-    nt, tc = cap.knn_tiles, cap.tile_cells
-    tile_cap = cap.frontend_tile_cap
-    origin = knn_tiled.tile_origin_for_pose(jnp.zeros(3), nt, tc)
-    rg = jnp.zeros((xyz.shape[0], 2), jnp.float32)
-    tmap = knn_tiled.build_tiled(xyz, rg, nonground, origin, nt, tc, tile_cap)
-    moments = pca_radius.radius_pca_moments(
-        tmap,
-        xyz,
-        nonground,
-        nt,
-        tc,
-        tile_cap,
-        radius=cfg.pca.neighbor_radius,
-        interpret=_interpret_mode(),
-    )
+    # Neighborhood-PCA moments over the non-ground cloud against itself.
+    if cfg.pca.impl == "voxel":
+        # Production path: cube-neighborhood moments by voxel aggregation,
+        # classified at voxel resolution and propagated to points — one sort
+        # + 27 direct-addressed gathers (see ops/pca_voxel.py).
+        vc = pca_voxel.voxel_pca_classify(xyz, nonground, cfg.pca)
+        return FrontendResult(
+            ground_mask=ground_mask,
+            nonground_mask=nonground,
+            beam_mask=vc.beam_mask,
+            pillar_mask=vc.pillar_mask,
+            facade_mask=vc.facade_mask,
+            n_halo_truncated=vc.n_voxel_dropped.astype(jnp.int32),
+        )
+    else:
+        # Exact-ball Pallas kernel.  The raw scan is far denser near the
+        # sensor than any voxelized map, so it gets its own tile capacity
+        # (cfg.capacity.frontend_tile_cap) — and a truncation counter, since
+        # z-unbounded tiles CAN overflow on raw scans (measured 83k slots on
+        # the city world; prefer impl="voxel").
+        cap = cfg.capacity
+        nt, tc = cap.knn_tiles, cap.tile_cells
+        tile_cap = cap.frontend_tile_cap
+        origin = knn_tiled.tile_origin_for_pose(jnp.zeros(3), nt, tc)
+        rg = jnp.zeros((xyz.shape[0], 2), jnp.float32)
+        tmap = knn_tiled.build_tiled(xyz, rg, nonground, origin, nt, tc, tile_cap)
+        moments = pca_radius.radius_pca_moments(
+            tmap,
+            xyz,
+            nonground,
+            nt,
+            tc,
+            tile_cap,
+            radius=cfg.pca.neighbor_radius,
+            interpret=_interpret_mode(),
+        )
+        # Halo-row truncation counter (kernel reads 3-tile rows capped at
+        # 3*tile_cap slots; anything beyond silently drops out of the moments).
+        w = 3 * tile_cap
+        ts = tmap.tile_start
+        tids = jnp.arange(nt * nt, dtype=jnp.int32)
+        tx, ty = tids // nt, tids % nt
+        trunc = jnp.asarray(0, jnp.int32)
+        for dr in (-1, 0, 1):
+            row = jnp.clip(tx + dr, 0, nt - 1)
+            lo = row * nt + jnp.clip(ty - 1, 0, nt - 1)
+            hi = row * nt + jnp.clip(ty + 1, 0, nt - 1) + 1
+            trunc = trunc + jnp.maximum(ts[hi] - ts[lo] - w, 0).sum()
     cls = pca_classify.classify(xyz, nonground, moments, cfg.pca)
-
-    # Halo-row truncation counter (kernel reads 3-tile rows capped at
-    # 3*tile_cap slots; anything beyond silently drops out of the moments).
-    w = 3 * tile_cap
-    ts = tmap.tile_start
-    tids = jnp.arange(nt * nt, dtype=jnp.int32)
-    tx, ty = tids // nt, tids % nt
-    trunc = jnp.asarray(0, jnp.int32)
-    for dr in (-1, 0, 1):
-        row = jnp.clip(tx + dr, 0, nt - 1)
-        lo = row * nt + jnp.clip(ty - 1, 0, nt - 1)
-        hi = row * nt + jnp.clip(ty + 1, 0, nt - 1) + 1
-        trunc = trunc + jnp.maximum(ts[hi] - ts[lo] - w, 0).sum()
 
     return FrontendResult(
         ground_mask=ground_mask,

@@ -478,11 +478,17 @@ def _es_outer_assoc_once(
     )
 
     def outer_body(carry):
-        q, t_l, _, _, _, _, it = carry
+        q, t_l, e_m0, s_m0, _, _, _, _, it = carry
         pose_l = se3.Pose(q=q, t=t_l)
         gate_sq = jnp.where(it == 0, o.nn_gate_wide_sq, o.nn_gate_sq)
         e_match, e_vc = _regate(ea, pose_l, ds_edge.xyz, gate_sq)
         s_match, s_vc = _regate(sa, pose_l, ds_surf.xyz, gate_sq)
+        # Keep the FIRST iteration's (wide-gate) match set: the reference
+        # increments g on every iteration's matches, and the wide pass is a
+        # superset of the final narrow one — crediting only the final set
+        # over-evicts (measured: maps shrink ~40%, drift doubles).
+        e_m0 = jnp.where(it == 0, e_match, e_m0)
+        s_m0 = jnp.where(it == 0, s_match, s_m0)
 
         factors = [
             gn.Correspondences(
@@ -508,42 +514,37 @@ def _es_outer_assoc_once(
             return new_pose
 
         pose_l = jax.lax.fori_loop(0, o.inner_gn_iters, inner, pose_l)
-        return (pose_l.q, pose_l.t, e_match, s_match, e_vc, s_vc, it + 1)
+        return (pose_l.q, pose_l.t, e_m0, s_m0, e_match, s_match, e_vc, s_vc, it + 1)
 
     def outer_cond(carry):
         return carry[-1] < opt_eff
 
-    init = (
-        pose0.q,
-        pose0.t,
-        jnp.zeros(ds_edge.xyz.shape[0], bool),
-        jnp.zeros(ds_surf.xyz.shape[0], bool),
-        jnp.zeros(ds_edge.xyz.shape[0], bool),
-        jnp.zeros(ds_surf.xyz.shape[0], bool),
-        jnp.asarray(0, jnp.int32),
-    )
-    q, t_l, e_match, s_match, e_vc, s_vc, _ = jax.lax.while_loop(
+    ze = jnp.zeros(ds_edge.xyz.shape[0], bool)
+    zs = jnp.zeros(ds_surf.xyz.shape[0], bool)
+    init = (pose0.q, pose0.t, ze, zs, ze, zs, ze, zs, jnp.asarray(0, jnp.int32))
+    q, t_l, e_m0, s_m0, e_match, s_match, e_vc, s_vc, _ = jax.lax.while_loop(
         outer_cond, outer_body, init
     )
 
-    # g increments (ref: :345-346, pre-persistence-gate matches), applied
-    # once, scaled by the iterations run.
-    scale = opt_eff.astype(jnp.float32)
+    # g increments (ref: :345-346, pre-persistence-gate matches): the wide
+    # first pass credits +1, the remaining opt_eff-1 narrow passes credit the
+    # final match set — the once-per-frame approximation of the reference's
+    # per-iteration increments.
+    scale_rest = jnp.maximum(opt_eff - 1, 0).astype(jnp.float32)
 
-    def apply_inc(grid, nn_idx, match):
+    def apply_inc(grid, nn_idx, m0, m_fin):
+        w = m0.astype(jnp.float32) + scale_rest * m_fin.astype(jnp.float32)
         inc = jnp.zeros(grid.rg.shape[0], jnp.float32)
-        inc = inc.at[nn_idx.reshape(-1)].add(
-            jnp.repeat(match.astype(jnp.float32), k), mode="drop"
-        )
-        return grid.rg.at[:, 1].set(
-            jnp.minimum(o.counter_cap, grid.rg[:, 1] + inc * scale)
-        )
+        inc = inc.at[nn_idx.reshape(-1)].add(jnp.repeat(w, k), mode="drop")
+        return grid.rg.at[:, 1].set(jnp.minimum(o.counter_cap, grid.rg[:, 1] + inc))
 
-    e_rg = apply_inc(edge_grid, ea.nn_idx, e_match)
-    s_rg = apply_inc(surf_grid, sa.nn_idx, s_match)
+    e_rg = apply_inc(edge_grid, ea.nn_idx, e_m0, e_match)
+    s_rg = apply_inc(surf_grid, sa.nn_idx, s_m0, s_match)
 
-    # Scan-point r/g writeback for map-merge (ref: :354-355).
-    def writeback(st, vc, ds_rg):
+    # Scan-point r/g writeback for map-merge (ref: :354-355) — the union of
+    # the per-iteration valid sets (the reference writes on every iteration;
+    # a point matched early keeps its writeback even if re-gated out later).
+    def writeback(st, vc_union, ds_rg):
         new_rg = jnp.stack(
             [
                 jnp.minimum(o.counter_cap, jnp.floor(st.round_)),
@@ -551,10 +552,10 @@ def _es_outer_assoc_once(
             ],
             -1,
         )
-        return jnp.where(vc[:, None], new_rg, ds_rg)
+        return jnp.where(vc_union[:, None], new_rg, ds_rg)
 
-    se_rg = writeback(ea, e_vc, ds_edge.rg)
-    ss_rg = writeback(sa, s_vc, ds_surf.rg)
+    se_rg = writeback(ea, (e_m0 & ea.pers_ok) | e_vc, ds_edge.rg)
+    ss_rg = writeback(sa, (s_m0 & sa.pers_ok) | s_vc, ds_surf.rg)
     return q, t_l, e_rg, s_rg, se_rg, ss_rg, e_vc.sum(), s_vc.sum()
 
 

@@ -40,7 +40,7 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 from pfilter_tpu.ops import knn_tiled
-from pfilter_tpu.ops.knn_tiled import _ALIGN, _TQC, _tile_ids
+from pfilter_tpu.ops.knn_tiled import _ALIGN, _CHUNK, _TQC, _tile_ids
 
 _NMOM = 16  # padded moment rows: [cnt, x, y, z, xx, yy, zz, xy, xz, yz, 0...]
 
@@ -62,8 +62,8 @@ def _pca_kernel(
     out_ref,  # [16, QPAD] f32 moments
     qbuf,  # VMEM [8, TQC]
     cbuf,  # VMEM [4, 3*WB]
-    caug,  # VMEM [8, 3*WB]
-    fbuf,  # VMEM [16, 3*WB]
+    cchunk,  # VMEM [8, CHUNK] augmented candidate chunk
+    fchunk,  # VMEM [16, CHUNK] moment-feature chunk
     mom,  # VMEM [16, TQC]
     sem_q,
     sem_c,
@@ -72,6 +72,11 @@ def _pca_kernel(
     w: int,
     radius_sq: float,
 ):
+    """Per query tile: DMA the 3-row halo, then accumulate the moment matmul
+    over 128-lane candidate chunks GUARDED by each halo row's actual
+    occupancy — compute scales with real point density, not the static
+    3*tile_cap capacity (the unguarded full-width version spent ~15x the
+    MXU work on empty lanes; same chunking as the kNN kernel)."""
     t = pl.program_id(0)
     qcnt = q_cnt_ref[t]
     tqc = _TQC
@@ -97,47 +102,13 @@ def _pca_kernel(
             ).wait()
 
         cx, cy, cz = ctr_ref[3 * t], ctr_ref[3 * t + 1], ctr_ref[3 * t + 2]
-        cand = cbuf[:, :]
-        x = cand[0:1] - cx
-        y = cand[1:2] - cy
-        z = cand[2:3] - cz
-        cc = x * x + y * y + z * z  # [1, 3WB]
-
-        # Column validity (per halo range, aligned over-read handling).
-        lane = jax.lax.broadcasted_iota(jnp.int32, (1, 3 * wb), 1)
-        off = lane % wb
-        rsec = lane // wb
         cnt0, cnt1, cnt2 = c_cnt_ref[3 * t], c_cnt_ref[3 * t + 1], c_cnt_ref[3 * t + 2]
         s0, s1, s2 = c_start_ref[3 * t], c_start_ref[3 * t + 1], c_start_ref[3 * t + 2]
-        sec_cnt = jnp.where(rsec == 0, cnt0, jnp.where(rsec == 1, cnt1, cnt2))
-        sec_start = jnp.where(rsec == 0, s0, jnp.where(rsec == 1, s1, s2))
-        col_ok = (off >= sec_start % _ALIGN) & (off < sec_start % _ALIGN + sec_cnt)
-
-        # Augmented candidates: dist = [q,|q|^2,1] . [-2c, 1, |c|^2]
-        # (tile-centered coords on both sides)
-        caug[0:1, :] = -2.0 * x
-        caug[1:2, :] = -2.0 * y
-        caug[2:3, :] = -2.0 * z
-        caug[3:4, :] = jnp.ones_like(cc)
-        caug[4:5, :] = cc
-        caug[5:8, :] = jnp.zeros((3, 3 * wb), jnp.float32)
-
-        # Moment features (masked by col_ok so invalid columns contribute 0
-        # regardless of W).
-        okf = col_ok.astype(jnp.float32)
-        fbuf[0:1, :] = okf
-        fbuf[1:2, :] = x * okf
-        fbuf[2:3, :] = y * okf
-        fbuf[3:4, :] = z * okf
-        fbuf[4:5, :] = x * x * okf
-        fbuf[5:6, :] = y * y * okf
-        fbuf[6:7, :] = z * z * okf
-        fbuf[7:8, :] = x * y * okf
-        fbuf[8:9, :] = x * z * okf
-        fbuf[9:10, :] = y * z * okf
-        fbuf[10:16, :] = jnp.zeros((6, 3 * wb), jnp.float32)
+        sec_cnts = (cnt0, cnt1, cnt2)
+        sec_deltas = (s0 % _ALIGN, s1 % _ALIGN, s2 % _ALIGN)
 
         n_sub = pl.cdiv(qcnt, tqc)
+        ll = jax.lax.broadcasted_iota(jnp.int32, (1, _CHUNK), 1)
 
         def sub_body(s, _):
             qoff = pl.multiple_of(q_start_ref[t] + s * tqc, _ALIGN)
@@ -155,22 +126,59 @@ def _pca_kernel(
             qbuf[4:5, :] = jnp.ones_like(qq)
             qbuf[5:8, :] = jnp.zeros((3, tqc), jnp.float32)
 
-            dist = jax.lax.dot_general(
-                qbuf[:, :],
-                caug[:, :],
-                dimension_numbers=(((0,), (0,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [TQC, 3WB] true squared distances
-            wmask = (dist < radius_sq).astype(jnp.float32)  # [TQC, 3WB]
+            mom[:, :] = jnp.zeros((_NMOM, tqc), jnp.float32)
 
-            mom[:, :] = jax.lax.dot_general(
-                fbuf[:, :],
-                wmask,
-                dimension_numbers=(((1,), (1,)), ((), ())),
-                preferred_element_type=jnp.float32,
-                precision=jax.lax.Precision.HIGHEST,
-            )  # [16, TQC]
+            for r in range(3):
+                delta_r = sec_deltas[r]
+                cnt_r = sec_cnts[r]
+                for cl in range(wb // _CHUNK):
+
+                    @pl.when(cl * _CHUNK < delta_r + cnt_r)
+                    def _chunk(r=r, cl=cl, delta_r=delta_r, cnt_r=cnt_r):
+                        cofs = r * wb + cl * _CHUNK
+                        x = cbuf[0:1, pl.ds(cofs, _CHUNK)] - cx
+                        y = cbuf[1:2, pl.ds(cofs, _CHUNK)] - cy
+                        z = cbuf[2:3, pl.ds(cofs, _CHUNK)] - cz
+                        cc = x * x + y * y + z * z
+                        # Augmented candidates: dist = [q,|q|^2,1].[-2c,1,|c|^2]
+                        cchunk[0:1, :] = -2.0 * x
+                        cchunk[1:2, :] = -2.0 * y
+                        cchunk[2:3, :] = -2.0 * z
+                        cchunk[3:4, :] = jnp.ones_like(cc)
+                        cchunk[4:5, :] = cc
+                        cchunk[5:8, :] = jnp.zeros((3, _CHUNK), jnp.float32)
+
+                        off = cl * _CHUNK + ll
+                        ok = (off >= delta_r) & (off < delta_r + cnt_r)
+                        okf = ok.astype(jnp.float32)
+                        fchunk[0:1, :] = okf
+                        fchunk[1:2, :] = x * okf
+                        fchunk[2:3, :] = y * okf
+                        fchunk[3:4, :] = z * okf
+                        fchunk[4:5, :] = x * x * okf
+                        fchunk[5:6, :] = y * y * okf
+                        fchunk[6:7, :] = z * z * okf
+                        fchunk[7:8, :] = x * y * okf
+                        fchunk[8:9, :] = x * z * okf
+                        fchunk[9:10, :] = y * z * okf
+                        fchunk[10:16, :] = jnp.zeros((6, _CHUNK), jnp.float32)
+
+                        dist = jax.lax.dot_general(
+                            qbuf[:, :],
+                            cchunk[:, :],
+                            dimension_numbers=(((0,), (0,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )  # [TQC, CHUNK] true squared distances
+                        wmask = (dist < radius_sq).astype(jnp.float32)
+
+                        mom[:, :] = mom[:, :] + jax.lax.dot_general(
+                            fchunk[:, :],
+                            wmask,
+                            dimension_numbers=(((1,), (1,)), ((), ())),
+                            preferred_element_type=jnp.float32,
+                            precision=jax.lax.Precision.HIGHEST,
+                        )  # [16, TQC]
 
             co = pltpu.make_async_copy(mom, out_ref.at[:, pl.ds(qoff, tqc)], sem_o)
             co.start()
@@ -244,8 +252,8 @@ def radius_pca_moments(
         scratch_shapes=[
             pltpu.VMEM((8, _TQC), jnp.float32),
             pltpu.VMEM((4, 3 * wb), jnp.float32),
-            pltpu.VMEM((8, 3 * wb), jnp.float32),
-            pltpu.VMEM((_NMOM, 3 * wb), jnp.float32),
+            pltpu.VMEM((8, _CHUNK), jnp.float32),
+            pltpu.VMEM((_NMOM, _CHUNK), jnp.float32),
             pltpu.VMEM((_NMOM, _TQC), jnp.float32),
             pltpu.SemaphoreType.DMA,
             pltpu.SemaphoreType.DMA((3,)),

@@ -543,11 +543,15 @@ def _sharded_outer_assoc_once(
     qs_s = sa.points.shape[0]
 
     def outer_body(carry):
-        q, t_l, _, _, _, _, it = carry
+        q, t_l, e_m0, s_m0, _, _, _, _, it = carry
         pose_l = se3.Pose(q=q, t=t_l)
         gate_sq = jnp.where(it == 0, o.nn_gate_wide_sq, o.nn_gate_sq)
         e_match, e_vc = _sharded_regate(ea, pose_l, gate_sq)
         s_match, s_vc = _sharded_regate(sa, pose_l, gate_sq)
+        # First-iteration (wide-gate) match set — see es_odometry: crediting
+        # g only on the final narrow set over-evicts.
+        e_m0 = jnp.where(it == 0, e_match, e_m0)
+        s_m0 = jnp.where(it == 0, s_match, s_m0)
 
         ew = _sharded_weights_static(ea, e_vc, o.weight_type)
         sw = _sharded_weights_static(sa, s_vc, o.weight_type)
@@ -568,37 +572,32 @@ def _sharded_outer_assoc_once(
             return se3.pose_update_left(delta, pose)
 
         pose_l = lax.fori_loop(0, o.inner_gn_iters, inner, pose_l)
-        return (pose_l.q, pose_l.t, e_match, s_match, e_vc, s_vc, it + 1)
+        return (pose_l.q, pose_l.t, e_m0, s_m0, e_match, s_match, e_vc, s_vc, it + 1)
 
-    init = (
-        pose0.q,
-        pose0.t,
-        jnp.zeros(qs_e, bool),
-        jnp.zeros(qs_s, bool),
-        jnp.zeros(qs_e, bool),
-        jnp.zeros(qs_s, bool),
-        jnp.asarray(0, jnp.int32),
-    )
-    q, t_l, e_match, s_match, e_vc, s_vc, _ = lax.while_loop(
+    ze = jnp.zeros(qs_e, bool)
+    zs = jnp.zeros(qs_s, bool)
+    init = (pose0.q, pose0.t, ze, zs, ze, zs, ze, zs, jnp.asarray(0, jnp.int32))
+    q, t_l, e_m0, s_m0, e_match, s_match, e_vc, s_vc, _ = lax.while_loop(
         lambda c: c[-1] < opt_eff, outer_body, init
     )
 
     me = lax.axis_index(MAP_AXIS)
-    scale = opt_eff.astype(jnp.float32)
+    scale_rest = jnp.maximum(opt_eff - 1, 0).astype(jnp.float32)
 
-    def apply_inc(grid, st, match):
-        a_shard, a_lidx, a_match = lax.all_gather(
-            (st.shard5, st.lidx5, jnp.broadcast_to(match[:, None], match.shape + (k,))),
+    def apply_inc(grid, st, m0, m_fin):
+        wgt = m0.astype(jnp.float32) + scale_rest * m_fin.astype(jnp.float32)
+        a_shard, a_lidx, a_w = lax.all_gather(
+            (st.shard5, st.lidx5, jnp.broadcast_to(wgt[:, None], wgt.shape + (k,))),
             MAP_AXIS,
         )
-        inc_here = jnp.where(a_shard == me, a_match.astype(jnp.float32), 0.0).reshape(-1)
-        g_new = grid.rg[:, 1].at[a_lidx.reshape(-1)].add(inc_here * scale, mode="drop")
+        inc_here = jnp.where(a_shard == me, a_w, 0.0).reshape(-1)
+        g_new = grid.rg[:, 1].at[a_lidx.reshape(-1)].add(inc_here, mode="drop")
         return grid.rg.at[:, 1].set(jnp.minimum(o.counter_cap, g_new))
 
-    e_rg = apply_inc(edge_grid, ea, e_match)
-    s_rg = apply_inc(surf_grid, sa, s_match)
+    e_rg = apply_inc(edge_grid, ea, e_m0, e_match)
+    s_rg = apply_inc(surf_grid, sa, s_m0, s_match)
 
-    def writeback(st, vc):
+    def writeback(st, vc_union):
         new_rg = jnp.stack(
             [
                 jnp.minimum(o.counter_cap, jnp.floor(st.round_)),
@@ -606,11 +605,11 @@ def _sharded_outer_assoc_once(
             ],
             -1,
         )
-        slice_rg = jnp.where(vc[:, None], new_rg, st.prg_s)
+        slice_rg = jnp.where(vc_union[:, None], new_rg, st.prg_s)
         return lax.all_gather(slice_rg, MAP_AXIS).reshape(-1, 2)
 
-    se_rg = writeback(ea, e_vc)
-    ss_rg = writeback(sa, s_vc)
+    se_rg = writeback(ea, (e_m0 & ea.pers_ok) | e_vc)
+    ss_rg = writeback(sa, (s_m0 & sa.pers_ok) | s_vc)
     ne = lax.psum(e_vc.sum(), MAP_AXIS)
     ns = lax.psum(s_vc.sum(), MAP_AXIS)
     return q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns

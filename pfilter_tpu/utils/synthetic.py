@@ -145,6 +145,7 @@ def make_city_world(
     n_movers: int = 12,
     clutter_per_block: float = 3.0,
     parked_per_side: float = 3.0,
+    outer_ring: bool = True,
 ) -> World:
     """A Manhattan grid of city blocks for KITTI-protocol evaluation: each
     block holds 2-4 axis-aligned buildings (facades, eave ledges, corner
@@ -231,9 +232,59 @@ def make_city_world(
                         walls_x.append([cx - cw / 2, cy, cy + cl, 0.0, ch])
                         walls_x.append([cx + cw / 2, cy, cy + cl, 0.0, ch])
 
-    movers = []
     ext_x = n_blocks_x * pitch
     ext_y = n_blocks_y * pitch
+
+    if outer_ring:
+        # Building rows OUTSIDE the perimeter streets, facing the loop: the
+        # companion make_loop_trajectory drives the perimeter, and without
+        # these the outward-facing half of every scan is empty — ~95% of
+        # returns were ground, starving the BPF facade/beam/pillar classifier
+        # and making the world easier than any real street (VERDICT r2
+        # weak #5).  Each row: facade + side walls + eave ledges + street
+        # poles, like the block buildings.
+        lo_street = -street_w / 2.0
+        for side, horizontal in ((0, True), (1, True), (2, False), (3, False)):
+            s = -15.0
+            extent = (ext_x if horizontal else ext_y) + 15.0
+            while s < extent:
+                w = rng.uniform(14.0, 40.0)
+                d = rng.uniform(8.0, 20.0)
+                h = rng.uniform(4.0, 14.0)
+                setback = rng.uniform(6.0, 12.0)
+                if horizontal:
+                    y_face = (
+                        lo_street - setback if side == 0 else ext_y - street_w / 2.0 + setback
+                    )
+                    y_back = y_face - d if side == 0 else y_face + d
+                    walls_y.append([y_face, s, s + w, 0.0, h])
+                    walls_x.append([s, min(y_face, y_back), max(y_face, y_back), 0.0, h])
+                    walls_x.append([s + w, min(y_face, y_back), max(y_face, y_back), 0.0, h])
+                    for z_l in (2.4, 4.6):
+                        if z_l < h - 0.5:
+                            off = 0.9 if side == 0 else -0.9
+                            walls_y.append([y_face + off, s, s + w, z_l, z_l + 0.3])
+                    if rng.uniform() < 0.7:
+                        py = y_face + (rng.uniform(2.0, 4.0) if side == 0 else -rng.uniform(2.0, 4.0))
+                        poles.append([s + rng.uniform(0, w), py, rng.uniform(0.08, 0.25), rng.uniform(3.0, 8.0)])
+                else:
+                    x_face = (
+                        lo_street - setback if side == 2 else ext_x - street_w / 2.0 + setback
+                    )
+                    x_back = x_face - d if side == 2 else x_face + d
+                    walls_x.append([x_face, s, s + w, 0.0, h])
+                    walls_y.append([s, min(x_face, x_back), max(x_face, x_back), 0.0, h])
+                    walls_y.append([s + w, min(x_face, x_back), max(x_face, x_back), 0.0, h])
+                    for z_l in (2.4, 4.6):
+                        if z_l < h - 0.5:
+                            off = 0.9 if side == 2 else -0.9
+                            walls_x.append([x_face + off, s, s + w, z_l, z_l + 0.3])
+                    if rng.uniform() < 0.7:
+                        px = x_face + (rng.uniform(2.0, 4.0) if side == 2 else -rng.uniform(2.0, 4.0))
+                        poles.append([px, s + rng.uniform(0, w), rng.uniform(0.08, 0.25), rng.uniform(3.0, 8.0)])
+                s += w + rng.uniform(2.0, 10.0)
+
+    movers = []
     for _ in range(n_movers):
         horizontal = rng.uniform() < 0.5
         lane_off = rng.choice([-1.0, 1.0]) * rng.uniform(1.5, 4.0)

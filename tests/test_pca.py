@@ -115,3 +115,93 @@ def test_classifier_on_structures():
     assert blob_any.mean() < 0.1
     # masks mutually exclusive
     assert not (pm & bm).any() and not (pm & fm).any() and not (bm & fm).any()
+
+
+def _cube_reference(xyz, valid, leaf):
+    """Brute-force cube-neighborhood moments (query voxel's 3x3x3 block)."""
+    import numpy as np
+
+    ijk = np.floor(xyz / leaf).astype(np.int64)
+    cnt = np.zeros(len(xyz))
+    mean = np.zeros((len(xyz), 3))
+    cov = np.zeros((len(xyz), 3, 3))
+    for i in range(len(xyz)):
+        if not valid[i]:
+            continue
+        d = np.abs(ijk - ijk[i])
+        sel = valid & (d.max(1) <= 1)
+        pts = xyz[sel]
+        cnt[i] = len(pts)
+        mu = pts.mean(0)
+        mean[i] = mu
+        zm = pts - mu
+        cov[i] = zm.T @ zm
+    return cnt, mean, cov
+
+
+def test_voxel_moments_match_cube_bruteforce():
+    """voxel_pca_moments == exact cube-neighborhood moments (its own
+    semantics), including the fp32-safe local-frame shift identities —
+    checked at world-scale coordinates where naive accumulation fails."""
+    from pfilter_tpu.ops import pca_voxel
+
+    rng = np.random.default_rng(1)
+    n = 600
+    # Offset far from origin: second moments ~ (60 m)^2 stress fp32.
+    xyz = (rng.uniform(-8, 8, size=(n, 3)) + np.array([55.0, -62.0, 3.0])).astype(
+        np.float32
+    )
+    valid = np.ones(n, bool)
+    valid[::9] = False
+    got = pca_voxel.voxel_pca_moments(jnp.asarray(xyz), jnp.asarray(valid), leaf=0.7)
+    cnt, mean, cov = _cube_reference(xyz.astype(np.float64), valid, 0.7)
+    np.testing.assert_allclose(np.asarray(got.count)[valid], cnt[valid])
+    m = valid & (cnt > 0)
+    np.testing.assert_allclose(np.asarray(got.mean)[m], mean[m], rtol=1e-4, atol=1e-3)
+    np.testing.assert_allclose(np.asarray(got.cov)[m], cov[m], rtol=2e-3, atol=2e-3)
+
+
+def test_voxel_moments_classify_agreement():
+    """Cube-neighborhood classification agrees with the exact-ball kernel on
+    clean geometry (a pillar, a beam, a facade) — the thresholds consume
+    eigenvalue ratios, which both neighborhoods preserve."""
+    from pfilter_tpu.ops import pca_voxel
+
+    rng = np.random.default_rng(2)
+    pts = []
+    # vertical pillar at (3, 3): 60 points over 6 m
+    pts.append(
+        np.stack(
+            [np.full(60, 3.0), np.full(60, 3.0), np.linspace(0, 6, 60)], -1
+        )
+        + rng.normal(0, 0.02, (60, 3))
+    )
+    # horizontal beam at z=3 along x
+    pts.append(
+        np.stack(
+            [np.linspace(-4, 4, 80), np.full(80, -3.0), np.full(80, 3.0)], -1
+        )
+        + rng.normal(0, 0.02, (80, 3))
+    )
+    # facade plane x = -3
+    yy, zz = np.meshgrid(np.linspace(-6, 6, 48), np.linspace(0, 7, 28))
+    pts.append(
+        np.stack([np.full(yy.size, -5.0), yy.ravel(), zz.ravel()], -1)
+        + rng.normal(0, 0.02, (yy.size, 3))
+    )
+    xyz = np.concatenate(pts).astype(np.float32)
+    valid = np.ones(len(xyz), bool)
+    cfg = PCAClassifyConfig()
+
+    mom = pca_voxel.voxel_pca_moments(jnp.asarray(xyz), jnp.asarray(valid), leaf=0.7)
+    cls = pca_classify.classify(jnp.asarray(xyz), jnp.asarray(valid), mom, cfg)
+    pillar = np.asarray(cls.pillar_mask)
+    beam = np.asarray(cls.beam_mask)
+    facade = np.asarray(cls.facade_mask)
+    # Majorities land in the right classes (ends/edges may miss).
+    assert pillar[:60].mean() > 0.6, pillar[:60].mean()
+    assert beam[60:140].mean() > 0.6, beam[60:140].mean()
+    assert facade[140:].mean() > 0.6, facade[140:].mean()
+    # Cross-contamination stays low.
+    assert pillar[140:].mean() < 0.05
+    assert beam[:60].mean() < 0.05
