@@ -23,7 +23,7 @@ from pfilter_tpu.config import PipelineConfig
 from pfilter_tpu.models import map_state
 from pfilter_tpu.models.es_odometry import _associate, _compact, _weights
 from pfilter_tpu.ops import gauss_newton as gn
-from pfilter_tpu.ops import se3, voxel
+from pfilter_tpu.ops import pose_graph, se3, voxel
 
 CHANNELS = ("beam", "pillar", "facade")
 
@@ -35,6 +35,13 @@ class BPFState(NamedTuple):
     pose: se3.Pose
     last_pose: se3.Pose
     opt_count: jnp.ndarray
+    # Pose-graph window (ops/pose_graph.py) — see es_odometry.ESState.
+    # Facade-only frames barely constrain z; the information-weighted
+    # smoother is the back-end that carries those directions.
+    pg_q: jnp.ndarray = None  # [K,4]
+    pg_t: jnp.ndarray = None  # [K,3]
+    pg_h: jnp.ndarray = None  # [K,6,6]
+    pg_valid: jnp.ndarray = None  # [K]
 
 
 class BPFDiag(NamedTuple):
@@ -47,6 +54,7 @@ class BPFDiag(NamedTuple):
 
 
 def init_state(cfg: PipelineConfig) -> BPFState:
+    k = cfg.pose_graph.window
     return BPFState(
         beam_map=map_state.empty_index(cfg, "beam"),
         pillar_map=map_state.empty_index(cfg, "pillar"),
@@ -54,6 +62,10 @@ def init_state(cfg: PipelineConfig) -> BPFState:
         pose=se3.identity_pose(),
         last_pose=se3.identity_pose(),
         opt_count=jnp.asarray(cfg.odometry.max_outer_iters, jnp.int32),
+        pg_q=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (k, 1)),
+        pg_t=jnp.zeros((k, 3), jnp.float32),
+        pg_h=jnp.zeros((k, 6, 6), jnp.float32),
+        pg_valid=jnp.zeros(k, bool),
     )
 
 
@@ -136,7 +148,7 @@ def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
     opt_eff = jnp.where(enough, opt_count, 0)
 
     def outer_body(carry):
-        q, t_l, rgs, scan_rgs, _, it = carry
+        q, t_l, _, rgs, scan_rgs, _, it = carry
         pose_l = se3.Pose(q=q, t=t_l)
         # Coarse-to-fine gate schedule (see es_odometry.es_step).
         gate_sq = jnp.where(it == 0, o.nn_gate_wide_sq, o.nn_gate_sq)
@@ -176,23 +188,27 @@ def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
             for kind in CHANNELS
         ]
 
-        def inner(_, pose):
-            new_pose, _ = gn.gn_iteration(pose, factors, o.huber_delta, o.gn_damping)
-            return new_pose
+        def inner(_, carry_i):
+            pose, _ = carry_i
+            new_pose, (hh, _b) = gn.gn_iteration(pose, factors, o.huber_delta, o.gn_damping)
+            return (new_pose, hh)
 
-        pose_l = jax.lax.fori_loop(0, o.inner_gn_iters, inner, pose_l)
+        pose_l, h = jax.lax.fori_loop(
+            0, o.inner_gn_iters, inner, (pose_l, jnp.zeros((6, 6), jnp.float32))
+        )
         counts = jnp.stack([assocs[k].valid.sum() for k in CHANNELS])
-        return (pose_l.q, pose_l.t, tuple(new_rgs), tuple(new_scan_rgs), counts, it + 1)
+        return (pose_l.q, pose_l.t, h, tuple(new_rgs), tuple(new_scan_rgs), counts, it + 1)
 
     init = (
         pose0.q,
         pose0.t,
+        jnp.zeros((6, 6), jnp.float32),
         tuple(grids[k].rg for k in CHANNELS),
         tuple(ds[k].rg for k in CHANNELS),
         jnp.zeros(3, jnp.int32),
         jnp.asarray(0, jnp.int32),
     )
-    q, t_l, rgs, scan_rgs, counts, _ = jax.lax.while_loop(
+    q, t_l, h_fin, rgs, scan_rgs, counts, _ = jax.lax.while_loop(
         lambda c: c[-1] < opt_eff, outer_body, init
     )
     pose = se3.Pose(q=q, t=t_l + center)
@@ -209,6 +225,15 @@ def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
         q=jnp.where(dropped, state.last_pose.q, last_pose.q),
         t=jnp.where(dropped, state.last_pose.t, last_pose.t),
     )
+
+    # Pose-graph window + optional smoothing (see es_odometry.es_step).
+    pgc = cfg.pose_graph
+    h_anchor = jnp.where(dropped, 1e-3 * jnp.eye(6, dtype=jnp.float32), h_fin)
+    pg_q, pg_t, pg_h, pg_valid = pose_graph.push_window(
+        state.pg_q, state.pg_t, state.pg_h, state.pg_valid, pose.q, pose.t, h_anchor
+    )
+    if pgc.enabled:
+        pose = pose_graph.smoothed_newest(pg_q, pg_t, pg_h, pg_valid, pose, pgc)
 
     new_maps = {}
     over_rows = []
@@ -242,6 +267,10 @@ def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
         pose=pose,
         last_pose=last_pose,
         opt_count=opt_count,
+        pg_q=pg_q,
+        pg_t=pg_t,
+        pg_h=pg_h,
+        pg_valid=pg_valid,
     )
     diag = BPFDiag(
         n_corr=counts,

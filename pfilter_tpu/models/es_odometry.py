@@ -39,7 +39,7 @@ import jax.numpy as jnp
 from pfilter_tpu.config import PipelineConfig
 from pfilter_tpu.models import map_state
 from pfilter_tpu.ops import gauss_newton as gn
-from pfilter_tpu.ops import knn, se3, voxel
+from pfilter_tpu.ops import knn, pose_graph, se3, voxel
 
 
 class ESState(NamedTuple):
@@ -48,6 +48,13 @@ class ESState(NamedTuple):
     pose: se3.Pose  # world <- sensor
     last_pose: se3.Pose
     opt_count: jnp.ndarray  # [] int32
+    # Pose-graph window (ops/pose_graph.py): last K scan-match poses + their
+    # GN information matrices.  Maintained even when the smoother is off
+    # (cheap; keeps the state pytree shape config-independent modulo K).
+    pg_q: jnp.ndarray = None  # [K,4]
+    pg_t: jnp.ndarray = None  # [K,3]
+    pg_h: jnp.ndarray = None  # [K,6,6]
+    pg_valid: jnp.ndarray = None  # [K]
 
 
 # Lanes of FrameDiag.overflow — every fixed capacity that can silently drop
@@ -87,13 +94,17 @@ def zero_overflow() -> jnp.ndarray:
 
 
 def init_state(cfg: PipelineConfig) -> ESState:
-    cap = cfg.capacity
+    k = cfg.pose_graph.window
     return ESState(
         edge_map=map_state.empty_index(cfg, "edge"),
         surf_map=map_state.empty_index(cfg, "surf"),
         pose=se3.identity_pose(),
         last_pose=se3.identity_pose(),
         opt_count=jnp.asarray(cfg.odometry.max_outer_iters, jnp.int32),
+        pg_q=jnp.tile(jnp.array([1.0, 0, 0, 0], jnp.float32), (k, 1)),
+        pg_t=jnp.zeros((k, 3), jnp.float32),
+        pg_h=jnp.zeros((k, 6, 6), jnp.float32),
+        pg_valid=jnp.zeros(k, bool),
     )
 
 
@@ -380,7 +391,7 @@ def _es_outer_per_iter(
     o = cfg.odometry
 
     def outer_body(carry):
-        q, t_l, e_rg, s_rg, se_rg, ss_rg, _, _, it = carry
+        q, t_l, _, e_rg, s_rg, se_rg, ss_rg, _, _, it = carry
         pose_l = se3.Pose(q=q, t=t_l)
         # Coarse-to-fine: wide gate on the first outer iteration only (see
         # OdometryConfig.nn_gate_wide_sq — breaks the fixed-gate absorbing
@@ -418,14 +429,18 @@ def _es_outer_per_iter(
             ),
         ]
 
-        def inner(_, pose):
-            new_pose, _ = gn.gn_iteration(pose, factors, o.huber_delta, o.gn_damping)
-            return new_pose
+        def inner(_, carry_i):
+            pose, _ = carry_i
+            new_pose, (hh, _b) = gn.gn_iteration(pose, factors, o.huber_delta, o.gn_damping)
+            return (new_pose, hh)
 
-        pose_l = jax.lax.fori_loop(0, o.inner_gn_iters, inner, pose_l)
+        pose_l, h = jax.lax.fori_loop(
+            0, o.inner_gn_iters, inner, (pose_l, jnp.zeros((6, 6), jnp.float32))
+        )
         return (
             pose_l.q,
             pose_l.t,
+            h,
             e_rg,
             s_rg,
             ea.scan_rg,
@@ -441,6 +456,7 @@ def _es_outer_per_iter(
     init = (
         pose0.q,
         pose0.t,
+        jnp.zeros((6, 6), jnp.float32),
         edge_grid.rg,
         surf_grid.rg,
         ds_edge.rg,
@@ -449,10 +465,10 @@ def _es_outer_per_iter(
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
     )
-    q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns, _ = jax.lax.while_loop(
+    q, t_l, h_fin, e_rg, s_rg, se_rg, ss_rg, ne, ns, _ = jax.lax.while_loop(
         outer_cond, outer_body, init
     )
-    return q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns
+    return q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns, h_fin
 
 
 def _es_outer_assoc_once(
@@ -478,7 +494,7 @@ def _es_outer_assoc_once(
     )
 
     def outer_body(carry):
-        q, t_l, e_m0, s_m0, _, _, _, _, it = carry
+        q, t_l, _, e_m0, s_m0, _, _, _, _, it = carry
         pose_l = se3.Pose(q=q, t=t_l)
         gate_sq = jnp.where(it == 0, o.nn_gate_wide_sq, o.nn_gate_sq)
         e_match, e_vc = _regate(ea, pose_l, ds_edge.xyz, gate_sq)
@@ -509,20 +525,26 @@ def _es_outer_assoc_once(
             ),
         ]
 
-        def inner(_, pose):
-            new_pose, _ = gn.gn_iteration(pose, factors, o.huber_delta, o.gn_damping)
-            return new_pose
+        def inner(_, carry_i):
+            pose, _ = carry_i
+            new_pose, (hh, _b) = gn.gn_iteration(pose, factors, o.huber_delta, o.gn_damping)
+            return (new_pose, hh)
 
-        pose_l = jax.lax.fori_loop(0, o.inner_gn_iters, inner, pose_l)
-        return (pose_l.q, pose_l.t, e_m0, s_m0, e_match, s_match, e_vc, s_vc, it + 1)
+        pose_l, h = jax.lax.fori_loop(
+            0, o.inner_gn_iters, inner, (pose_l, jnp.zeros((6, 6), jnp.float32))
+        )
+        return (pose_l.q, pose_l.t, h, e_m0, s_m0, e_match, s_match, e_vc, s_vc, it + 1)
 
     def outer_cond(carry):
         return carry[-1] < opt_eff
 
     ze = jnp.zeros(ds_edge.xyz.shape[0], bool)
     zs = jnp.zeros(ds_surf.xyz.shape[0], bool)
-    init = (pose0.q, pose0.t, ze, zs, ze, zs, ze, zs, jnp.asarray(0, jnp.int32))
-    q, t_l, e_m0, s_m0, e_match, s_match, e_vc, s_vc, _ = jax.lax.while_loop(
+    init = (
+        pose0.q, pose0.t, jnp.zeros((6, 6), jnp.float32),
+        ze, zs, ze, zs, ze, zs, jnp.asarray(0, jnp.int32),
+    )
+    q, t_l, h_fin, e_m0, s_m0, e_match, s_match, e_vc, s_vc, _ = jax.lax.while_loop(
         outer_cond, outer_body, init
     )
 
@@ -556,7 +578,7 @@ def _es_outer_assoc_once(
 
     se_rg = writeback(ea, (e_m0 & ea.pers_ok) | e_vc, ds_edge.rg)
     ss_rg = writeback(sa, (s_m0 & sa.pers_ok) | s_vc, ds_surf.rg)
-    return q, t_l, e_rg, s_rg, se_rg, ss_rg, e_vc.sum(), s_vc.sum()
+    return q, t_l, e_rg, s_rg, se_rg, ss_rg, e_vc.sum(), s_vc.sum(), h_fin
 
 
 def es_step(state: ESState, feat, cfg: PipelineConfig):
@@ -628,32 +650,19 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
         )
         e_bounds, s_bounds = e_sort.bounds, s_sort.bounds
 
-    if o.assoc_once:
-        (q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns) = _es_outer_assoc_once(
-            cfg,
-            opt_eff,
-            pose0,
-            center,
-            edge_grid,
-            surf_grid,
-            ds_edge,
-            ds_surf,
-            e_bounds,
-            s_bounds,
-        )
-    else:
-        (q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns) = _es_outer_per_iter(
-            cfg,
-            opt_eff,
-            pose0,
-            center,
-            edge_grid,
-            surf_grid,
-            ds_edge,
-            ds_surf,
-            e_bounds,
-            s_bounds,
-        )
+    outer = _es_outer_assoc_once if o.assoc_once else _es_outer_per_iter
+    (q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns, h_fin) = outer(
+        cfg,
+        opt_eff,
+        pose0,
+        center,
+        edge_grid,
+        surf_grid,
+        ds_edge,
+        ds_surf,
+        e_bounds,
+        s_bounds,
+    )
 
     pose = se3.Pose(q=q, t=t_l + center)
 
@@ -674,6 +683,19 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
         q=jnp.where(dropped, state.last_pose.q, last_pose.q),
         t=jnp.where(dropped, state.last_pose.t, last_pose.t),
     )
+
+    # Pose-graph window update + optional smoothing (ops/pose_graph.py):
+    # anchors are the RAW scan-match poses weighted by their GN information;
+    # a dropped frame enters with near-zero information so the motion model
+    # carries it.  The smoothed pose drives the map merge, the published
+    # trajectory, and (through new_state.pose) the next prediction.
+    pgc = cfg.pose_graph
+    h_anchor = jnp.where(dropped, 1e-3 * jnp.eye(6, dtype=jnp.float32), h_fin)
+    pg_q, pg_t, pg_h, pg_valid = pose_graph.push_window(
+        state.pg_q, state.pg_t, state.pg_h, state.pg_valid, pose.q, pose.t, h_anchor
+    )
+    if pgc.enabled:
+        pose = pose_graph.smoothed_newest(pg_q, pg_t, pg_h, pg_valid, pose, pgc)
 
     # Map merge (ref addPointsToMap, :589-647) in world coords.
     edge_world = se3.transform_points(pose, ds_edge.xyz)
@@ -733,6 +755,10 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
         pose=pose,
         last_pose=last_pose,
         opt_count=opt_count,
+        pg_q=pg_q,
+        pg_t=pg_t,
+        pg_h=pg_h,
+        pg_valid=pg_valid,
     )
     diag = FrameDiag(
         n_edge_corr=ne,

@@ -47,7 +47,7 @@ from pfilter_tpu.config import PipelineConfig
 from pfilter_tpu.models import es_odometry, map_state
 from pfilter_tpu.ops import features as fops
 from pfilter_tpu.ops import gauss_newton as gn
-from pfilter_tpu.ops import knn, knn_tiled, se3, voxel
+from pfilter_tpu.ops import knn, knn_tiled, pose_graph, se3, voxel
 
 MAP_AXIS = "map"
 
@@ -97,6 +97,10 @@ def state_specs(cfg: PipelineConfig = None):
         pose=pose,
         last_pose=pose,
         opt_count=P("seq"),
+        pg_q=P("seq", None, None),
+        pg_t=P("seq", None, None),
+        pg_h=P("seq", None, None, None),
+        pg_valid=P("seq", None),
     )
 
 
@@ -129,6 +133,10 @@ def _squeeze_state(state, tiled: bool):
         pose=_squeeze0(state.pose),
         last_pose=_squeeze0(state.last_pose),
         opt_count=state.opt_count[0],
+        pg_q=state.pg_q[0],
+        pg_t=state.pg_t[0],
+        pg_h=state.pg_h[0],
+        pg_valid=state.pg_valid[0],
     )
 
 
@@ -141,6 +149,10 @@ def _unsqueeze_state(state, tiled: bool):
         pose=_unsqueeze0(state.pose),
         last_pose=_unsqueeze0(state.last_pose),
         opt_count=state.opt_count[None],
+        pg_q=state.pg_q[None],
+        pg_t=state.pg_t[None],
+        pg_h=state.pg_h[None],
+        pg_valid=state.pg_valid[None],
     )
 
 
@@ -463,7 +475,7 @@ def _sharded_outer_per_iter(
     o = cfg.odometry
 
     def outer_body(carry):
-        q, t_l, e_rg, s_rg, se_rg, ss_rg, _, _, it = carry
+        q, t_l, _, e_rg, s_rg, se_rg, ss_rg, _, _, it = carry
         pose_l = se3.Pose(q=q, t=t_l)
         # Coarse-to-fine gate schedule — must mirror es_odometry.es_step
         # exactly (n_map=1 equivalence).
@@ -483,7 +495,8 @@ def _sharded_outer_per_iter(
         ew = _sharded_weights(ea, o.weight_type)
         sw = _sharded_weights(sa, o.weight_type)
 
-        def inner(_, pose):
+        def inner(_, carry_i):
+            pose, _ = carry_i
             re, je = gn.edge_residual_jacobian(pose, ea.points, ea.geom_a, ea.geom_b)
             rs, js = gn.surf_residual_jacobian(pose, sa.points, sa.geom_a, sa.geom_b[:, 0])
             h = jnp.zeros((6, 6), jnp.float32)
@@ -496,16 +509,19 @@ def _sharded_outer_per_iter(
             h = lax.psum(h, MAP_AXIS)
             b = lax.psum(b, MAP_AXIS)
             delta = gn.solve_step(h, b, o.gn_damping)
-            return se3.pose_update_left(delta, pose)
+            return (se3.pose_update_left(delta, pose), h)
 
-        pose_l = lax.fori_loop(0, o.inner_gn_iters, inner, pose_l)
+        pose_l, h = lax.fori_loop(
+            0, o.inner_gn_iters, inner, (pose_l, jnp.zeros((6, 6), jnp.float32))
+        )
         ne = lax.psum(ea.valid.sum(), MAP_AXIS)
         ns = lax.psum(sa.valid.sum(), MAP_AXIS)
-        return (pose_l.q, pose_l.t, e_rg, s_rg, ea.scan_rg_full, sa.scan_rg_full, ne, ns, it + 1)
+        return (pose_l.q, pose_l.t, h, e_rg, s_rg, ea.scan_rg_full, sa.scan_rg_full, ne, ns, it + 1)
 
     init = (
         pose0.q,
         pose0.t,
+        jnp.zeros((6, 6), jnp.float32),
         edge_grid.rg,
         surf_grid.rg,
         ds_edge.rg,
@@ -514,10 +530,10 @@ def _sharded_outer_per_iter(
         jnp.asarray(0, jnp.int32),
         jnp.asarray(0, jnp.int32),
     )
-    q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns, _ = lax.while_loop(
+    q, t_l, h_fin, e_rg, s_rg, se_rg, ss_rg, ne, ns, _ = lax.while_loop(
         lambda c: c[-1] < opt_eff, outer_body, init
     )
-    return q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns
+    return q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns, h_fin
 
 
 def _sharded_outer_assoc_once(
@@ -543,7 +559,7 @@ def _sharded_outer_assoc_once(
     qs_s = sa.points.shape[0]
 
     def outer_body(carry):
-        q, t_l, e_m0, s_m0, _, _, _, _, it = carry
+        q, t_l, _, e_m0, s_m0, _, _, _, _, it = carry
         pose_l = se3.Pose(q=q, t=t_l)
         gate_sq = jnp.where(it == 0, o.nn_gate_wide_sq, o.nn_gate_sq)
         e_match, e_vc = _sharded_regate(ea, pose_l, gate_sq)
@@ -556,7 +572,8 @@ def _sharded_outer_assoc_once(
         ew = _sharded_weights_static(ea, e_vc, o.weight_type)
         sw = _sharded_weights_static(sa, s_vc, o.weight_type)
 
-        def inner(_, pose):
+        def inner(_, carry_i):
+            pose, _ = carry_i
             re, je = gn.edge_residual_jacobian(pose, ea.points, ea.geom_a, ea.geom_b)
             rs, js = gn.surf_residual_jacobian(pose, sa.points, sa.geom_a, sa.geom_b[:, 0])
             h = jnp.zeros((6, 6), jnp.float32)
@@ -569,15 +586,20 @@ def _sharded_outer_assoc_once(
             h = lax.psum(h, MAP_AXIS)
             b = lax.psum(b, MAP_AXIS)
             delta = gn.solve_step(h, b, o.gn_damping)
-            return se3.pose_update_left(delta, pose)
+            return (se3.pose_update_left(delta, pose), h)
 
-        pose_l = lax.fori_loop(0, o.inner_gn_iters, inner, pose_l)
-        return (pose_l.q, pose_l.t, e_m0, s_m0, e_match, s_match, e_vc, s_vc, it + 1)
+        pose_l, h = lax.fori_loop(
+            0, o.inner_gn_iters, inner, (pose_l, jnp.zeros((6, 6), jnp.float32))
+        )
+        return (pose_l.q, pose_l.t, h, e_m0, s_m0, e_match, s_match, e_vc, s_vc, it + 1)
 
     ze = jnp.zeros(qs_e, bool)
     zs = jnp.zeros(qs_s, bool)
-    init = (pose0.q, pose0.t, ze, zs, ze, zs, ze, zs, jnp.asarray(0, jnp.int32))
-    q, t_l, e_m0, s_m0, e_match, s_match, e_vc, s_vc, _ = lax.while_loop(
+    init = (
+        pose0.q, pose0.t, jnp.zeros((6, 6), jnp.float32),
+        ze, zs, ze, zs, ze, zs, jnp.asarray(0, jnp.int32),
+    )
+    q, t_l, h_fin, e_m0, s_m0, e_match, s_match, e_vc, s_vc, _ = lax.while_loop(
         lambda c: c[-1] < opt_eff, outer_body, init
     )
 
@@ -612,7 +634,7 @@ def _sharded_outer_assoc_once(
     ss_rg = writeback(sa, (s_m0 & sa.pers_ok) | s_vc)
     ne = lax.psum(e_vc.sum(), MAP_AXIS)
     ns = lax.psum(s_vc.sum(), MAP_AXIS)
-    return q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns
+    return q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns, h_fin
 
 
 def _first_frame_block(state, feat, cfg: PipelineConfig, n_map: int):
@@ -689,16 +711,11 @@ def _es_step_block(state, feat, cfg: PipelineConfig, n_map: int):
         )
         e_bounds, s_bounds = e_sort.bounds, s_sort.bounds
 
-    if o.assoc_once:
-        q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns = _sharded_outer_assoc_once(
-            cfg, opt_eff, pose0, center, edge_grid, surf_grid,
-            ds_edge, ds_surf, e_bounds, s_bounds, n_map,
-        )
-    else:
-        q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns = _sharded_outer_per_iter(
-            cfg, opt_eff, pose0, center, edge_grid, surf_grid,
-            ds_edge, ds_surf, e_bounds, s_bounds, n_map,
-        )
+    outer = _sharded_outer_assoc_once if o.assoc_once else _sharded_outer_per_iter
+    q, t_l, e_rg, s_rg, se_rg, ss_rg, ne, ns, h_fin = outer(
+        cfg, opt_eff, pose0, center, edge_grid, surf_grid,
+        ds_edge, ds_surf, e_bounds, s_bounds, n_map,
+    )
     pose = se3.Pose(q=q, t=t_l + center)
 
     # Device-side corrupt-frame guard — identical to the single-chip step
@@ -716,6 +733,17 @@ def _es_step_block(state, feat, cfg: PipelineConfig, n_map: int):
         q=jnp.where(dropped, state.last_pose.q, last_pose.q),
         t=jnp.where(dropped, state.last_pose.t, last_pose.t),
     )
+
+    # Pose-graph window + optional smoothing — identical replicated
+    # arithmetic on every shard (h_fin is already psum-reduced), so no
+    # extra collective is needed; see es_odometry.es_step.
+    pgc = cfg.pose_graph
+    h_anchor = jnp.where(dropped, 1e-3 * jnp.eye(6, dtype=jnp.float32), h_fin)
+    pg_q, pg_t, pg_h, pg_valid = pose_graph.push_window(
+        state.pg_q, state.pg_t, state.pg_h, state.pg_valid, pose.q, pose.t, h_anchor
+    )
+    if pgc.enabled:
+        pose = pose_graph.smoothed_newest(pg_q, pg_t, pg_h, pg_valid, pose, pgc)
 
     edge_world = se3.transform_points(pose, ds_edge.xyz)
     surf_world = se3.transform_points(pose, ds_surf.xyz)
@@ -759,6 +787,10 @@ def _es_step_block(state, feat, cfg: PipelineConfig, n_map: int):
         pose=pose,
         last_pose=last_pose,
         opt_count=opt_count,
+        pg_q=pg_q,
+        pg_t=pg_t,
+        pg_h=pg_h,
+        pg_valid=pg_valid,
     )
     diag = es_odometry.FrameDiag(
         n_edge_corr=ne,
@@ -804,6 +836,10 @@ def init_sharded_state(cfg: PipelineConfig, n_seq: int, n_map: int = 1):
         pose=pose_b,
         last_pose=pose_b,
         opt_count=jnp.broadcast_to(base.opt_count, (n_seq,)),
+        pg_q=jnp.broadcast_to(base.pg_q, (n_seq,) + base.pg_q.shape),
+        pg_t=jnp.broadcast_to(base.pg_t, (n_seq,) + base.pg_t.shape),
+        pg_h=jnp.broadcast_to(base.pg_h, (n_seq,) + base.pg_h.shape),
+        pg_valid=jnp.broadcast_to(base.pg_valid, (n_seq,) + base.pg_valid.shape),
     )
 
 
