@@ -21,7 +21,14 @@ import jax.numpy as jnp
 
 from pfilter_tpu.config import PipelineConfig
 from pfilter_tpu.models import map_state
-from pfilter_tpu.models.es_odometry import _associate, _compact, _weights
+from pfilter_tpu.models.es_odometry import (
+    _associate,
+    _associate_static,
+    _compact,
+    _regate,
+    _weights,
+    _weights_from,
+)
 from pfilter_tpu.ops import gauss_newton as gn
 from pfilter_tpu.ops import pose_graph, se3, voxel
 
@@ -91,61 +98,10 @@ def first_frame(state: BPFState, xyz, masks, cfg: PipelineConfig) -> BPFState:
     )
 
 
-def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
-    """One BPF odometry frame (ref ``updatePointsToMap``,
-    src/odomEstimationClass.cpp:702-760).  ``masks`` maps channel name ->
-    boolean mask over ``xyz``."""
-    o, cap = cfg.odometry, cfg.capacity
-
-    opt_count = jnp.maximum(o.min_outer_iters, state.opt_count - 1)
-    pred = se3.constant_velocity_predict(state.pose, state.last_pose)
-    last_pose = state.pose
-
-    grids = {"beam": state.beam_map, "pillar": state.pillar_map, "facade": state.facade_map}
-    ds = {}
-    over_compact = {}
-    over_ds = {}
-    for kind in CHANNELS:
-        line = map_state.is_line_kind(kind)
-        comp_cap = cap.edge_points if line else cap.surf_points
-        ds_cap = cap.ds_edge_points if line else cap.ds_surf_points
-        cxyz, cvalid = _compact(xyz, masks[kind], comp_cap)
-        over_compact[kind] = jnp.maximum(masks[kind].sum() - comp_cap, 0)
-        ds[kind], over_ds[kind] = voxel.voxel_downsample_rgbds_counted(
-            voxel.PointSet(cxyz, jnp.zeros((comp_cap, 2), jnp.float32), cvalid),
-            _leaf(cfg, kind),
-            ds_cap,
-        )
-
-    center = pred.t
-    pose0 = se3.Pose(q=pred.q, t=jnp.zeros(3, jnp.float32))
-
-    # Tile-sort each feature cloud once per frame at the predicted pose and
-    # keep all downstream work in sorted order (see es_odometry.es_step).
-    bounds = {k: None for k in CHANNELS}
-    if cap.knn_impl == "tiled":
-        for kind in CHANNELS:
-            qs = map_state.sort_queries_for_index(
-                grids[kind],
-                se3.transform_points(pred, ds[kind].xyz),
-                ds[kind].valid,
-                cfg,
-                kind,
-            )
-            ds[kind] = voxel.PointSet(
-                xyz=ds[kind].xyz[qs.order],
-                rg=ds[kind].rg[qs.order],
-                valid=ds[kind].valid[qs.order],
-            )
-            bounds[kind] = qs.bounds
-
-    # Map-size gate (ref: :722 — beam>10 && pillar>10 && facade>50).
-    enough = (
-        (grids["beam"].valid.sum() > 10)
-        & (grids["pillar"].valid.sum() > 10)
-        & (grids["facade"].valid.sum() > 50)
-    )
-    opt_eff = jnp.where(enough, opt_count, 0)
+def _bpf_outer_per_iter(cfg, opt_eff, pose0, center, grids, ds, bounds):
+    """Reference-faithful outer loop: full re-association every iteration
+    over all three channels (ref: src/odomEstimationClass.cpp:722-760)."""
+    o = cfg.odometry
 
     def outer_body(carry):
         q, t_l, _, rgs, scan_rgs, _, it = carry
@@ -211,6 +167,159 @@ def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
     q, t_l, h_fin, rgs, scan_rgs, counts, _ = jax.lax.while_loop(
         lambda c: c[-1] < opt_eff, outer_body, init
     )
+    return q, t_l, h_fin, rgs, scan_rgs, counts
+
+
+def _bpf_outer_assoc_once(cfg, opt_eff, pose0, center, grids, ds, bounds):
+    """Hoisted-association outer loop over three channels (see
+    es_odometry._es_outer_assoc_once for the semantics and the wide-pass
+    g-credit rule)."""
+    o = cfg.odometry
+    k = cfg.capacity.knn_k
+
+    st = {
+        kind: _associate_static(
+            kind, grids[kind], grids[kind].rg, pose0, center,
+            ds[kind].xyz, ds[kind].valid, cfg, bounds[kind],
+        )
+        for kind in CHANNELS
+    }
+
+    def outer_body(carry):
+        q, t_l, _, m0s, _, _, it = carry
+        pose_l = se3.Pose(q=q, t=t_l)
+        gate_sq = jnp.where(it == 0, o.nn_gate_wide_sq, o.nn_gate_sq)
+        matches, vcs, new_m0s = [], [], []
+        for i, kind in enumerate(CHANNELS):
+            m, vc = _regate(st[kind], pose_l, ds[kind].xyz, gate_sq)
+            matches.append(m)
+            vcs.append(vc)
+            new_m0s.append(jnp.where(it == 0, m, m0s[i]))
+
+        factors = [
+            gn.Correspondences(
+                kind="edge" if map_state.is_line_kind(kind) else "surf",
+                points=ds[kind].xyz,
+                geom_a=st[kind].geom_a,
+                geom_b=st[kind].geom_b,
+                weight=_weights_from(st[kind].observe, st[kind].sparsity, vcs[i], o.weight_type),
+                valid=vcs[i],
+            )
+            for i, kind in enumerate(CHANNELS)
+        ]
+
+        def inner(_, carry_i):
+            pose, _ = carry_i
+            new_pose, (hh, _b) = gn.gn_iteration(pose, factors, o.huber_delta, o.gn_damping)
+            return (new_pose, hh)
+
+        pose_l, h = jax.lax.fori_loop(
+            0, o.inner_gn_iters, inner, (pose_l, jnp.zeros((6, 6), jnp.float32))
+        )
+        return (pose_l.q, pose_l.t, h, tuple(new_m0s), tuple(matches), tuple(vcs), it + 1)
+
+    zeros = tuple(jnp.zeros(ds[kind].xyz.shape[0], bool) for kind in CHANNELS)
+    init = (
+        pose0.q,
+        pose0.t,
+        jnp.zeros((6, 6), jnp.float32),
+        zeros,
+        zeros,
+        zeros,
+        jnp.asarray(0, jnp.int32),
+    )
+    q, t_l, h_fin, m0s, matches, vcs, _ = jax.lax.while_loop(
+        lambda c: c[-1] < opt_eff, outer_body, init
+    )
+
+    scale_rest = jnp.maximum(opt_eff - 1, 0).astype(jnp.float32)
+    rgs, scan_rgs, counts = [], [], []
+    for i, kind in enumerate(CHANNELS):
+        w = m0s[i].astype(jnp.float32) + scale_rest * matches[i].astype(jnp.float32)
+        inc = jnp.zeros(grids[kind].rg.shape[0], jnp.float32)
+        inc = inc.at[st[kind].nn_idx.reshape(-1)].add(jnp.repeat(w, k), mode="drop")
+        rgs.append(
+            grids[kind].rg.at[:, 1].set(
+                jnp.minimum(o.counter_cap, grids[kind].rg[:, 1] + inc)
+            )
+        )
+        new_rg = jnp.stack(
+            [
+                jnp.minimum(o.counter_cap, jnp.floor(st[kind].round_)),
+                jnp.minimum(o.counter_cap, jnp.floor(st[kind].observe)),
+            ],
+            -1,
+        )
+        vc_union = (m0s[i] & st[kind].pers_ok) | vcs[i]
+        scan_rgs.append(jnp.where(vc_union[:, None], new_rg, ds[kind].rg))
+        counts.append(vcs[i].sum())
+    return q, t_l, h_fin, tuple(rgs), tuple(scan_rgs), jnp.stack(counts)
+
+
+def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
+    """One BPF odometry frame (ref ``updatePointsToMap``,
+    src/odomEstimationClass.cpp:702-760).  ``masks`` maps channel name ->
+    boolean mask over ``xyz``."""
+    o, cap = cfg.odometry, cfg.capacity
+
+    opt_count = jnp.maximum(o.min_outer_iters, state.opt_count - 1)
+    pred = se3.constant_velocity_predict(state.pose, state.last_pose)
+    last_pose = state.pose
+
+    grids = {"beam": state.beam_map, "pillar": state.pillar_map, "facade": state.facade_map}
+    ds = {}
+    over_compact = {}
+    over_ds = {}
+    for kind in CHANNELS:
+        line = map_state.is_line_kind(kind)
+        comp_cap = cap.edge_points if line else cap.surf_points
+        ds_cap = cap.ds_edge_points if line else cap.ds_surf_points
+        cxyz, cvalid = _compact(xyz, masks[kind], comp_cap)
+        over_compact[kind] = jnp.maximum(masks[kind].sum() - comp_cap, 0)
+        ds[kind], over_ds[kind] = voxel.voxel_downsample_rgbds_counted(
+            voxel.PointSet(cxyz, jnp.zeros((comp_cap, 2), jnp.float32), cvalid),
+            _leaf(cfg, kind),
+            ds_cap,
+        )
+
+    center = pred.t
+    pose0 = se3.Pose(q=pred.q, t=jnp.zeros(3, jnp.float32))
+
+    # Tile-sort each feature cloud once per frame at the predicted pose and
+    # keep all downstream work in sorted order (see es_odometry.es_step).
+    bounds = {k: None for k in CHANNELS}
+    if cap.knn_impl == "tiled":
+        for kind in CHANNELS:
+            qs = map_state.sort_queries_for_index(
+                grids[kind],
+                se3.transform_points(pred, ds[kind].xyz),
+                ds[kind].valid,
+                cfg,
+                kind,
+            )
+            ds[kind] = voxel.PointSet(
+                xyz=ds[kind].xyz[qs.order],
+                rg=ds[kind].rg[qs.order],
+                valid=ds[kind].valid[qs.order],
+            )
+            bounds[kind] = qs.bounds
+
+    # Map-size gate (ref: :722 — beam>10 && pillar>10 && facade>50).
+    enough = (
+        (grids["beam"].valid.sum() > 10)
+        & (grids["pillar"].valid.sum() > 10)
+        & (grids["facade"].valid.sum() > 50)
+    )
+    opt_eff = jnp.where(enough, opt_count, 0)
+
+    if o.assoc_once:
+        q, t_l, h_fin, rgs, scan_rgs, counts = _bpf_outer_assoc_once(
+            cfg, opt_eff, pose0, center, grids, ds, bounds
+        )
+    else:
+        q, t_l, h_fin, rgs, scan_rgs, counts = _bpf_outer_per_iter(
+            cfg, opt_eff, pose0, center, grids, ds, bounds
+        )
     pose = se3.Pose(q=q, t=t_l + center)
 
     # Device-side corrupt-frame guard (same as es_odometry.es_step).
