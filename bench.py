@@ -27,6 +27,24 @@ import numpy as np
 # the same machine, including test/dev runs this session) makes it seconds.
 _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cache")
 
+# Pinned measurement protocol (VERDICT r3 #10: numbers must compare across
+# rounds).  Any CLI deviation from these values is flagged in the output as
+# "protocol_deviation" so a run under different settings can't be silently
+# compared against a pinned-protocol baseline.  Methodology (recorded here
+# per ADVICE r3): scan rendering is PRE-COMPUTED outside the timed loop
+# (input generation is not part of the odometry system under test — the
+# reference replays a recorded rosbag); fps is steady-state frames over
+# steady-state wall seconds, warmup excluded; drift is the official KITTI
+# protocol over the pinned segment lengths, start frames every 10.
+PROTOCOL = {
+    "frames": 300,
+    "warmup": 10,
+    "speed_m_per_frame": 1.5,
+    "azimuth": 1800,
+    "lengths_m": (100, 200, 300),
+    "render_outside_timed_loop": True,
+}
+
 
 def main():
     ap = argparse.ArgumentParser()
@@ -51,6 +69,14 @@ def main():
         "ground-seg/DCVC/PCA beam-pillar-facade pipeline",
     )
     ap.add_argument("--set", action="append", default=[], help="dotted config override k=v")
+    ap.add_argument(
+        "--compile-only",
+        action="store_true",
+        help="lower + compile every jitted program the bench runs (renderer, "
+        "extract/frontend, first, step) and exit with compile timings — "
+        "populates/validates the persistent .jax_cache without a full run "
+        "(see tools/check_bench_cache.py)",
+    )
     args = ap.parse_args()
 
     import jax
@@ -122,10 +148,16 @@ def main():
             t_time=i,
         )
         n = xyz.shape[0]
+        if n >= cap:  # ADVICE r3: truncate, never a negative pad
+            return xyz[:cap], valid[:cap]
         return (
             jnp.pad(xyz, ((0, cap - n), (0, 0))),
             jnp.pad(valid, (0, cap - n)),
         )
+
+    if args.compile_only:
+        _compile_only(args, cfg, render_one, poses, t_wall0)
+        return
 
     log("tracing renderer")
     _lowered = render_one.lower(poses.q[0], poses.t[0], jnp.float32(0))
@@ -155,9 +187,23 @@ def main():
     def feed(i):
         pipe.process_frame(*frames_dev[i])
 
-    for i in range(args.warmup):
+    # Fine-grained warmup logging: compile + program-load times over the
+    # device tunnel are highly variable (measured 51s..299s for the same
+    # cache-resident programs), so each phase gets its own timestamped line
+    # — when a driver run dies in warmup, the log says which phase ate the
+    # budget.
+    feed(0)  # extract + first-frame compile/load
+    log("first frame done (extract+init compiled)")
+    feed(1)  # step compile/load
+    pipe.flush()
+    log("first step done (step compiled+loaded)")
+    if args.warmup > 2:
+        feed(2)  # second step layout-variant compile (if any)
+        pipe.flush()
+        log("second step done")
+    for i in range(3, args.warmup):
         feed(i)
-    pipe.flush()  # compile + fill; steady-state timing starts clean
+    pipe.flush()  # fill; steady-state timing starts clean
     partial["phase"] = "steady"
     log("warmup done; steady loop")
     t_steady0 = time.perf_counter()
@@ -194,12 +240,23 @@ def main():
     gt = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
     est = metrics.poses_to_matrices(q, t)
     path_len = metrics.trajectory_distances(gt)[-1]
-    lengths = tuple(l for l in metrics.KITTI_LENGTHS if l <= path_len * 0.8) or (
-        50.0,
-        100.0,
-    )
+    # Pinned segment lengths (PROTOCOL) so drift compares across rounds; a
+    # shortened run falls back to what the path affords and is flagged below.
+    lengths = tuple(float(l) for l in PROTOCOL["lengths_m"] if l <= path_len * 0.8)
+    if not lengths:
+        lengths = (50.0, 100.0)
     drift = metrics.kitti_drift(gt, est, lengths=lengths, step=10)
     ate = metrics.ate_rmse(gt, est)
+
+    deviation = (
+        args.frames != PROTOCOL["frames"]
+        or args.warmup != PROTOCOL["warmup"]
+        or args.speed != PROTOCOL["speed_m_per_frame"]
+        or args.azimuth != PROTOCOL["azimuth"]
+        or n_done != args.frames
+        or list(lengths) != [float(l) for l in PROTOCOL["lengths_m"]]
+        or bool(args.set)
+    )
 
     result = {
         "metric": f"frames_per_sec_{args.mode}64",
@@ -215,6 +272,8 @@ def main():
         "render_wall_s": round(t_render, 2),
         "path_len_m": round(float(path_len), 1),
         "protocol_lengths_m": [int(l) for l in lengths],
+        "bench_protocol": {k: list(v) if isinstance(v, tuple) else v for k, v in PROTOCOL.items()},
+        "protocol_deviation": deviation,
         "n_segments": drift["n_segments"],
         "n_frames_dropped": pipe.n_dropped,
         "total_wall_s": round(total_s, 2),
@@ -227,6 +286,68 @@ def main():
     else:
         result["map_sizes"] = [int(x) for x in pipe.records[-1].map_sizes]
     print(json.dumps(result), flush=True)
+
+
+def _compile_only(args, cfg, render_one, poses, t_wall0):
+    """Lower + compile every jitted program the bench dispatches, without
+    running the frame loop.  Abstract (ShapeDtypeStruct) lowering builds the
+    exact same HLO the real run traces, so the persistent-cache entries it
+    reads/writes are the ones the driver's bench run will need — this is the
+    round-closing cache-residency check (VERDICT r3 #1c) and the cold-compile
+    timing probe (VERDICT r3 #2) in one."""
+    import sys
+
+    import jax
+    import jax.numpy as jnp
+
+    from pfilter_tpu.pipeline import BPFPipeline, ESPipeline
+
+    timings = {}
+
+    def clock(name, fn):
+        t0 = time.perf_counter()
+        out = fn()
+        timings[name] = round(time.perf_counter() - t0, 2)
+        print(f"[compile {name}: {timings[name]}s]", file=sys.stderr, flush=True)
+        return out
+
+    clock("render", lambda: render_one.lower(poses.q[0], poses.t[0], jnp.float32(0)).compile())
+
+    cap = cfg.capacity.scan_points
+    xyz_s = jax.ShapeDtypeStruct((cap, 3), jnp.float32)
+    mask_s = jax.ShapeDtypeStruct((cap,), jnp.bool_)
+
+    if args.mode == "bpf":
+        pipe = BPFPipeline(cfg=cfg.replace(mode="bpf"), sync=False, fetch_lag=4)
+        state_s = jax.eval_shape(lambda: pipe._bpf.init_state(pipe.cfg))
+        fe_s = jax.eval_shape(pipe._frontend, xyz_s, mask_s)
+        masks_s = {"beam": fe_s[0], "pillar": fe_s[1], "facade": fe_s[2]}
+        clock("frontend", lambda: pipe._frontend.lower(xyz_s, mask_s).compile())
+        clock("first", lambda: pipe._first.lower(state_s, xyz_s, masks_s).compile())
+        clock("step", lambda: pipe._step.lower(state_s, xyz_s, masks_s).compile())
+    else:
+        from pfilter_tpu.models import es_odometry
+
+        pipe = ESPipeline(cfg=cfg, sync=False, fetch_lag=4)
+        state_s = jax.eval_shape(lambda: es_odometry.init_state(pipe.cfg))
+        feat_s = jax.eval_shape(pipe._extract, xyz_s, mask_s)
+        clock("extract", lambda: pipe._extract.lower(xyz_s, mask_s).compile())
+        clock("first", lambda: pipe._first.lower(state_s, feat_s).compile())
+        clock("step", lambda: pipe._step.lower(state_s, feat_s).compile())
+
+    print(
+        json.dumps(
+            {
+                "metric": f"compile_wall_s_{args.mode}",
+                "value": round(time.perf_counter() - t_wall0, 2),
+                "unit": "s",
+                "vs_baseline": 0.0,
+                "compile_only": True,
+                "timings_s": timings,
+            }
+        ),
+        flush=True,
+    )
 
 
 def supervise():
