@@ -221,6 +221,19 @@ class PCAClassifyConfig:
     beam_min_z: float = 0.5
     planar_threshold: float = 0.65
     norm_z_facade: float = 0.34
+    # Route ground-segmented points into the facade (plane-cost) channel.
+    # Documented divergence from the reference, which drops ground entirely
+    # in BPF mode (src/additionNode.cpp:24-27) and then has NO z-constraining
+    # planes: pillars/facades are vertical and only beams (horizontal lines,
+    # ~100/frame on the city circuit) touch z.  Measured on the synthetic
+    # city circuit: z-ATE 4.52 m over 150 frames WITHOUT ground (x/y are
+    # 0.22 m), a monotonic z ratchet — the reference's own ES path keeps
+    # ground in its surf cloud (src/laserProcessingClass.cpp:198-205), so
+    # this restores the constraint the BPF preprocessing threw away.  The
+    # facade cost is per-correspondence plane fitting, so horizontal ground
+    # planes coexist with vertical facades in one map.  Set False for the
+    # reference-faithful channel split.
+    ground_as_facade: bool = True
 
 
 @dataclass(frozen=True)

