@@ -82,14 +82,33 @@ def _leaf(cfg: PipelineConfig, kind: str) -> float:
 
 
 def first_frame(state: BPFState, xyz, masks, cfg: PipelineConfig) -> BPFState:
-    """Seed the three maps with raw classified features
-    (ref ``initMapWithPoints``, src/odomEstimationClass.cpp:689-695)."""
+    """Seed the three maps with the first scan's classified features
+    (ref ``initMapWithPoints``, src/odomEstimationClass.cpp:689-695).
+
+    Divergence from the reference: the seed clouds are rgbds-voxelized at the
+    channel leaf first.  The reference seeds raw points into a KD-tree (no
+    capacity limit); under static tile capacities a raw dense seed (facade
+    with ground routed in is ~the whole lower scan) overflows near-sensor
+    kNN tiles and silently truncates neighbor reads for exactly one frame —
+    the first merge re-voxelizes anyway, so seeding at steady-state density
+    changes nothing after frame 2 while keeping frame 1 exact."""
     new_maps = {}
     for kind in CHANNELS:
         cap = map_state.map_capacity(cfg, kind)
-        cxyz, cvalid = _compact(xyz, masks[kind], cap)
-        rg = jnp.zeros((cap, 2), jnp.float32)
-        new_maps[kind] = map_state.build_index(cxyz, rg, cvalid, state.pose.t, cfg, kind)
+        comp_cap = (
+            cfg.capacity.edge_points
+            if map_state.is_line_kind(kind)
+            else cfg.capacity.surf_points
+        )
+        cxyz, cvalid = _compact(xyz, masks[kind], comp_cap)
+        seed = voxel.voxel_downsample_rgbds(
+            voxel.PointSet(cxyz, jnp.zeros((comp_cap, 2), jnp.float32), cvalid),
+            _leaf(cfg, kind),
+            cap,
+        )
+        new_maps[kind] = map_state.build_index(
+            seed.xyz, seed.rg, seed.valid, state.pose.t, cfg, kind
+        )
     return state._replace(
         beam_map=new_maps["beam"],
         pillar_map=new_maps["pillar"],

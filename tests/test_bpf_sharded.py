@@ -1,0 +1,95 @@
+"""Sharded BPF pipeline on the virtual 8-device CPU mesh: single-chip
+equivalence and map partitioning (the sharded twin of the reference's
+*default* launch pipeline, launch/pfilter_kitti.launch:5-10)."""
+
+import jax.numpy as jnp
+import numpy as np
+import pytest
+
+from pfilter_tpu.models import bpf_frontend, bpf_odometry
+from pfilter_tpu.parallel import bpf_sharded, mesh as meshlib
+from pfilter_tpu.utils import synthetic
+
+from tests.test_bpf import small_config
+
+
+@pytest.fixture(scope="module")
+def scans():
+    cfg = small_config()
+    world = synthetic.make_world(seed=5, corridor_len=60.0)
+    n_frames = 4
+    poses = synthetic.make_trajectory(n_frames, speed=0.8)
+    xyz, valid = synthetic.render_sequence(
+        world, poses, cfg.lidar, n_azimuth=1200, noise=0.004
+    )
+    cap = cfg.capacity.scan_points
+    xyz_p = np.zeros((n_frames, cap, 3), np.float32)
+    msk_p = np.zeros((n_frames, cap), bool)
+    n = xyz.shape[1]
+    xyz_p[:, :n] = np.asarray(xyz)
+    msk_p[:, :n] = np.asarray(valid)
+    return cfg, xyz_p, msk_p
+
+
+def _run_sharded(cfg, xyz_frames, mask_frames, n_seq, n_map):
+    mesh = meshlib.make_mesh(n_seq, n_map)
+    state = bpf_sharded.init_sharded_state(cfg, n_seq, n_map)
+    first = bpf_sharded.make_sharded_step(cfg, mesh, first=True)
+    step = bpf_sharded.make_sharded_step(cfg, mesh, first=False)
+    traj, diags = [], []
+    for i in range(xyz_frames.shape[1]):
+        xb = jnp.asarray(xyz_frames[:, i])
+        mb = jnp.asarray(mask_frames[:, i])
+        if i == 0:
+            state, diag = first(state, xb, mb)
+        else:
+            state, diag = step(state, xb, mb)
+        traj.append(np.asarray(state.pose.t))
+        diags.append(diag)
+    return np.stack(traj, axis=1), state, diags  # [n_seq, F, 3]
+
+
+def test_sharded_bpf_matches_single_chip(scans):
+    cfg, xyz, mask = scans
+    n_frames = len(xyz)
+
+    # Single-chip baseline (same jit programs the BPFPipeline runs).
+    state = bpf_odometry.init_state(cfg)
+    t_single, sizes_single = [], None
+    for i in range(n_frames):
+        fr = bpf_frontend.run_frontend(jnp.asarray(xyz[i]), jnp.asarray(mask[i]), cfg)
+        masks = {"beam": fr.beam_mask, "pillar": fr.pillar_mask, "facade": fr.facade_mask}
+        if i == 0:
+            state = bpf_odometry.first_frame(state, jnp.asarray(xyz[i]), masks, cfg)
+        else:
+            state, diag = bpf_odometry.bpf_step(state, jnp.asarray(xyz[i]), masks, cfg)
+            sizes_single = np.asarray(diag.map_sizes)
+        t_single.append(np.asarray(state.pose.t))
+    t_single = np.stack(t_single)
+
+    # 2 seq rows x 2 map shards, same sequence in both rows.
+    xyz_b = np.stack([xyz, xyz])
+    mask_b = np.stack([mask, mask])
+    traj, sstate, diags = _run_sharded(cfg, xyz_b, mask_b, n_seq=2, n_map=2)
+
+    # Both sequence rows identical.
+    np.testing.assert_allclose(traj[0], traj[1], atol=1e-5)
+    # Sharded tracks single-chip to millimeters (fp merge order differs).
+    err = np.linalg.norm(traj[0] - t_single, axis=1)
+    assert err.max() < 5e-2, f"sharded vs single-chip divergence: {err}"
+    # Total map sizes agree to within eviction-order noise.
+    sizes_sharded = np.asarray(diags[-1].map_sizes[0])
+    assert np.abs(sizes_sharded - sizes_single).max() <= 0.02 * sizes_single.max() + 5, (
+        sizes_sharded,
+        sizes_single,
+    )
+
+
+def test_sharded_bpf_map_partition(scans):
+    """Each map shard holds a nonempty hash-owned subset of every channel."""
+    cfg, xyz, mask = scans
+    traj, state, _ = _run_sharded(cfg, xyz[None], mask[None], n_seq=1, n_map=2)
+    for m in (state.beam_map, state.pillar_map, state.facade_map):
+        valid = np.asarray(m.valid[0])  # [n_map, cap_local]
+        per_shard = valid.sum(axis=1)
+        assert (per_shard > 0).all(), per_shard
