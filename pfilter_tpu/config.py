@@ -274,6 +274,15 @@ class PipelineConfig:
     """
 
     mode: str = "es"  # "es" | "bpf"
+    # ES-mode pre-filters: run ground segmentation and/or DCVC small-cluster
+    # removal on the raw scan BEFORE ring feature extraction — the reference's
+    # curvedVoxel_node front-end feeding the ES processing node
+    # (curvedfilter=1 / groundfilter=1 with featurePreExtract=0:
+    # src/additionNode.cpp:12-54 republishes the surviving cloud on
+    # pfilter_input_cloud, consumed by src/laserProcessingNode.cpp:120-126).
+    # Off by default (the paper's ES path consumes the raw scan).
+    es_ground_filter: bool = False
+    es_curved_filter: bool = False
     lidar: LidarConfig = LidarConfig()
     features: FeatureConfig = FeatureConfig()
     odometry: OdometryConfig = OdometryConfig()
@@ -302,11 +311,16 @@ def kitti_config() -> PipelineConfig:
         # (26.2 fps/0.475% vs 23.7 fps/0.418%) — accuracy wins by default;
         # override features.surf_decimate=2 when throughput matters more.
         features=FeatureConfig(surf_decimate=1),
-        # weight_type=2 (map-sparsity weighting) is the reference's launch
-        # default (launch/pfilter_kitti.launch:8); ABLATION_r02.json measures
-        # it slightly ahead of weighting-off on drift/rotation/ATE.
+        # weight_type=0: ABLATION_r04.json measures weighting-off at 0.304%
+        # drift vs 0.425% for the reference's launch default weighttype=2
+        # (launch/pfilter_kitti.launch:8) at identical fps on the pinned
+        # 300-frame protocol (r2 had measured w2 slightly ahead; the
+        # assoc-once static weights changed that).  Override
+        # odometry.weight_type=2 for launch-parity runs; weightType 1 is
+        # pathological by the reference's own normalizer semantics — see
+        # ops/gauss_newton.fold_normalize.
         odometry=OdometryConfig(
-            k_new=0.0, theta_p=0.4, theta_max=75.0, map_resolution=0.4, weight_type=2
+            k_new=0.0, theta_p=0.4, theta_max=75.0, map_resolution=0.4, weight_type=0
         ),
         # Capacities sized 3-6x the MEASURED steady-state occupancy on the
         # KITTI-like city world (HDL-64, 1800 azimuth: ~100k valid returns,

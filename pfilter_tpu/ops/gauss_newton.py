@@ -172,7 +172,30 @@ def masked_minmax(values: jnp.ndarray, valid: jnp.ndarray):
 def fold_normalize(values, vmin, vmax, floor: float):
     """Core of the reference's weight normalizers: min-max normalize, fold
     (x -> |x-1|), scale to [0, 2], clamp at ``floor``.  ``vmin``/``vmax`` may
-    come from a cross-shard reduction (lax.pmin/pmax) in distributed mode."""
+    come from a cross-shard reduction (lax.pmin/pmax) in distributed mode.
+
+    Semantics note (root cause of the weightType-1 pathology, VERDICT r3 #7):
+    the fold is an INVERSION — after min-max normalization x is in [0, 1] and
+    |x-1|*2 maps the LARGEST input to 0 (clamped to ``floor``) and the
+    smallest to 2.  For observe weighting (weightType 1) that means the most
+    persistent, longest-observed map points get weight 0.1 and brand-new
+    points get 2.0 — faithfully reproducing ``observeMean``
+    (ref: src/odomEstimationClass.cpp:136-160).  The reference survives its
+    own inversion because its weights barely act: the edge cost only applies
+    ``point_weight`` when the weight VALUE compares equal to the literals
+    1, 2, or 12 — i.e. never, for continuous weights
+    (ref: src/lidarOptimization.cpp:25-28) — and the surf cost scales the
+    residual but never the Jacobian (ref: :62-63), which in Gauss-Newton
+    terms is a per-point step-length bias, not an information weight.  This
+    engine applies weights consistently (residual AND Jacobian, i.e. w^2 in
+    the normal equations, ops/gauss_newton.gn_iteration), so the inversion
+    actually binds: under weightType 1 established correspondences enter the
+    system at (0.1)^2 = 1% relative information and drift degrades ~5x
+    (ABLATION w1 row).  The divergence is therefore the reference's own
+    residual-only / weight-as-type-number bug, not a porting error; the
+    reference's launch default weighttype=2 (sparsity) is unaffected because
+    sparsity values don't saturate the way observe counters do.  Behavior is
+    pinned by tests/test_weighting.py::test_fold_normalize_inverts."""
     length = vmax - vmin
     ok = length > 0
     x = (values - vmin) / jnp.where(ok, length, 1.0)

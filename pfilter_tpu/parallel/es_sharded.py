@@ -855,6 +855,16 @@ def make_sharded_step(cfg: PipelineConfig, mesh, first: bool = False):
     def block_fn(state_b, xyz_b, mask_b):
         state = _squeeze_state(state_b, tiled)
         xyz, mask = xyz_b[0], mask_b[0]
+        # Optional ES front-end (cfg.es_ground_filter / es_curved_filter) —
+        # replicated per map group, mirroring pipeline.ESPipeline._extract.
+        if cfg.es_ground_filter:
+            from pfilter_tpu.ops import ground as ground_ops
+
+            mask = ground_ops.segment_ground(xyz, mask, cfg.ground).nonground_mask
+        if cfg.es_curved_filter:
+            from pfilter_tpu.ops import dcvc as dcvc_ops
+
+            mask = dcvc_ops.cluster(xyz, mask, cfg.dcvc, cfg.lidar).keep
         feat = fops.extract_features(xyz, mask, cfg.lidar, cfg.features, cfg.capacity)
         if first:
             new_state = _first_frame_block(state, feat, cfg, n_map)

@@ -80,6 +80,19 @@ class ESPipeline:
         self._pending: list = []
 
         def _extract(xyz, mask):
+            # Optional ES front-end (cfg.es_ground_filter / es_curved_filter):
+            # the reference's curvedVoxel_node preprocessing for the ES
+            # pipeline (src/additionNode.cpp:12-54 with featurePreExtract=0).
+            if cfg.es_ground_filter:
+                from pfilter_tpu.ops import ground as ground_ops
+
+                g = ground_ops.segment_ground(xyz, mask, cfg.ground)
+                mask = g.nonground_mask
+            if cfg.es_curved_filter:
+                from pfilter_tpu.ops import dcvc as dcvc_ops
+
+                c = dcvc_ops.cluster(xyz, mask, cfg.dcvc, cfg.lidar)
+                mask = c.keep
             return features.extract_features(xyz, mask, cfg.lidar, cfg.features, cfg.capacity)
 
         def _first(state, feat):

@@ -312,6 +312,29 @@ def make_city_world(
     )
 
 
+def make_canyon_world(length: float = 400.0, half_width: float = 8.0, height: float = 7.0) -> World:
+    """A degenerate urban canyon: two featureless parallel facades and a flat
+    ground plane — nothing else.  Lateral position, yaw, z, roll and pitch
+    are all well constrained (facade planes + ground), but the along-track
+    direction is *unobservable* from geometry: every scan looks identical
+    under x-translation.  This is exactly the failure mode the windowed
+    pose-graph smoother exists for (ops/pose_graph.py:4-13) — scan matching
+    contributes near-zero along-track information and the motion-model
+    factors must carry it.  Used by tools/pose_graph_ab.py (VERDICT r3 #6)."""
+    walls_y = [
+        [-half_width, -50.0, length + 50.0, 0.0, height],
+        [half_width, -50.0, length + 50.0, 0.0, height],
+    ]
+    return World(
+        walls_x=np.zeros((0, 5), np.float32),
+        walls_y=np.array(walls_y, np.float32),
+        poles=np.zeros((0, 4), np.float32),
+        ground_z=0.0,
+        movers=np.zeros((0, 8), np.float32),
+        clutter=np.zeros((0, 4), np.float32),
+    )
+
+
 def make_loop_trajectory(
     n_frames: int,
     speed: float = 1.5,

@@ -100,3 +100,47 @@ def test_persistence_counters_active(synthetic_run):
     assert (rg[:, 1] > 0).any(), "observation counts should accumulate"
     # ages grow by 2 per merge, capped at 255
     assert rg[:, 0].max() <= 255.0
+
+
+def test_outer_variant_parity_second_world():
+    """assoc_once=True (hoisted association, the default) vs the
+    reference-faithful per-iteration re-association
+    (src/odomEstimationClass.cpp:252-272) on a SECOND world (different seed
+    and geometry than the city circuit the default was tuned on, ADVICE r3):
+    both outer variants must track the same trajectory to centimeters."""
+    import dataclasses
+
+    from pfilter_tpu.models import es_odometry
+    from pfilter_tpu.ops import features as fops
+
+    cfg = small_config()
+    world = synthetic.make_world(seed=9, corridor_len=70.0, clutter_per_100m=4.0)
+    n_frames = 10
+    poses = synthetic.make_trajectory(n_frames, speed=0.9)
+    xyz, valid = synthetic.render_sequence(world, poses, cfg.lidar, n_azimuth=900, noise=0.005)
+    gt = metrics.poses_to_matrices(np.asarray(poses.q), np.asarray(poses.t))
+    gt_rel = _relative_to_first(gt)
+
+    trajs = {}
+    for once in (True, False):
+        c = cfg.replace(odometry=dataclasses.replace(cfg.odometry, assoc_once=once))
+        state = es_odometry.init_state(c)
+        feats = [
+            fops.extract_features(jnp.asarray(xyz[i]), jnp.asarray(valid[i]),
+                                  c.lidar, c.features, c.capacity)
+            for i in range(n_frames)
+        ]
+        state = es_odometry.first_frame(state, feats[0], c)
+        ts = [np.asarray(state.pose.t)]
+        for i in range(1, n_frames):
+            state, _ = es_odometry.es_step(state, feats[i], c)
+            ts.append(np.asarray(state.pose.t))
+        trajs[once] = np.stack(ts)
+
+    # Both variants must be accurate against ground truth ...
+    for once, ts in trajs.items():
+        err = np.linalg.norm(ts - gt_rel[:, :3, 3], axis=1)
+        assert err.max() < 0.25, f"assoc_once={once}: max err {err.max():.3f}"
+    # ... and close to each other (same cost landscape, approximated assoc).
+    gap = np.linalg.norm(trajs[True] - trajs[False], axis=1)
+    assert gap.max() < 0.08, f"outer-variant divergence: {gap}"

@@ -51,6 +51,27 @@ def test_weighted_pipeline_tracks(scans, weight_type):
     assert pipe.n_dropped == 0
 
 
+def test_fold_normalize_inverts():
+    """Pin the reference's observeMean semantics (src/odomEstimationClass.cpp:
+    136-160): the fold maps the LARGEST value to the floor and the smallest
+    to 2.0 — an inversion.  Under weightType 1 the most-persistent map points
+    therefore carry the least weight; see ops/gauss_newton.fold_normalize for
+    why this is the reference's own behavior (its edge cost never applies
+    continuous weights at all, src/lidarOptimization.cpp:25-28) and why the
+    consistent-IRLS application here makes w1 measurably pathological."""
+    from pfilter_tpu.ops import gauss_newton as gn
+
+    vals = jnp.asarray([1.0, 128.0, 255.0])
+    w = gn.fold_normalize(vals, jnp.asarray(1.0), jnp.asarray(255.0), floor=0.1)
+    w = np.asarray(w)
+    assert w[0] == pytest.approx(2.0)  # newest point -> max weight
+    assert w[2] == pytest.approx(0.1)  # most-observed point -> floor
+    assert w[1] == pytest.approx(1.0, abs=0.02)
+    # Degenerate range -> all ones (no information to weight by).
+    w_deg = np.asarray(gn.fold_normalize(vals, jnp.asarray(5.0), jnp.asarray(5.0), 0.1))
+    np.testing.assert_allclose(w_deg, 1.0)
+
+
 def test_weighted_sharded_matches_single(scans):
     """weight_type=2 exercises the sharded pmin/pmax normalization; the
     n_map=2 trajectory must agree with the single-chip weighted one."""

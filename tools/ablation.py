@@ -8,10 +8,19 @@ Configs run (all on the same rendered scan stream):
             launch/pfilter_kitti.launch:8)
 - ``w1``/``w12``: observe / mean weighting        (--full only)
 - ``floam``: persistence filtering disabled (k_new=theta_p=theta_max=0) —
-  the FLOAM-equivalent ablation (README.md:44).  The paper's core claim is
-  that persistence filtering gives a SMALLER map at equal-or-better drift
-  (README.md:2-3: -20.9% time, +9.4% accuracy); ``map_ratio`` and the drift
-  columns reproduce that comparison on this world.
+  the FLOAM-equivalent ablation (README.md:44) under the kitti preset's
+  TIGHT capacities.  Without eviction the live map exceeds them (measured
+  max 24k edge / 105.7k surf vs caps 16384/65536 on the city circuit), so
+  this row documents the overflow a persistence-free map forces on a
+  static-shape engine.
+- ``floam_sized``: the fair fps comparison (VERDICT r3 #5) — floam params
+  with capacities raised to hold its MEASURED occupancy (edge 65536,
+  surf 262144, tile caps 512/768; occupancy probe: edge max 24,001, surf
+  max 105,723 at 150 frames, overflow 0).  The paper's -20.9% frame-time
+  claim (README.md:2) translated to static shapes: persistence eviction is
+  what lets every capacity-proportional cost (sort, merge, kNN tiles,
+  scatter) run on arrays ~4x smaller.  ``persistence_summary.speedup``
+  reports fps(kitti-tight) / fps(floam_sized).
 
 Writes a JSON dict (--out) keyed by config with fps / drift / ATE /
 final map sizes / overflow.
@@ -62,16 +71,27 @@ def main():
     lengths = tuple(l for l in metrics.KITTI_LENGTHS if l <= path_len * 0.8) or (50.0, 100.0)
 
     def variant(name):
-        if name == "floam":
-            return base.replace(
+        if name.startswith("floam"):
+            cfg = base.replace(
                 odometry=dataclasses.replace(
                     base.odometry, k_new=0.0, theta_p=0.0, theta_max=0.0, weight_type=0
                 )
             )
+            if name == "floam_sized":
+                cfg = cfg.replace(
+                    capacity=dataclasses.replace(
+                        cfg.capacity,
+                        edge_map_points=65536,
+                        surf_map_points=262144,
+                        edge_tile_cap=512,
+                        surf_tile_cap=768,
+                    )
+                )
+            return cfg
         wt = int(name[1:])
         return base.replace(odometry=dataclasses.replace(base.odometry, weight_type=wt))
 
-    names = ["w0", "w2", "floam"] + (["w1", "w12"] if args.full else [])
+    names = ["w0", "w2", "floam", "floam_sized"] + (["w1", "w12"] if args.full else [])
     results = {}
     for name in names:
         cfg = variant(name)
@@ -109,14 +129,21 @@ def main():
         }
         print(name, results[name], flush=True)
 
-    if "w0" in results and "floam" in results:
+    if "w0" in results and "floam_sized" in results:
         results["persistence_summary"] = {
             "map_ratio_pfilter_vs_floam": round(
-                results["w0"]["map_points"] / max(results["floam"]["map_points"], 1), 3
+                results["w0"]["map_points"] / max(results["floam_sized"]["map_points"], 1), 3
             ),
             "drift_delta_pct_points": round(
-                results["w0"]["drift_t_pct"] - results["floam"]["drift_t_pct"], 4
+                results["w0"]["drift_t_pct"] - results["floam_sized"]["drift_t_pct"], 4
             ),
+            # The static-shape translation of the paper's -20.9% frame time
+            # (README.md:2): persistence keeps occupancy inside caps ~4x
+            # smaller, and every capacity-proportional cost follows.
+            "speedup_pfilter_vs_floam_sized": round(
+                results["w0"]["fps"] / max(results["floam_sized"]["fps"], 1e-9), 3
+            ),
+            "floam_tightcap_overflow": results.get("floam", {}).get("overflow_total"),
         }
 
     out = {
