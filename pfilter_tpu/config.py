@@ -167,6 +167,13 @@ class GroundConfig:
     neighbor_height_tol: float = 1.5  # cell min-z close to 3x3 neighbor min-z
     point_height_tol: float = 0.3  # point within 0.3 m of cell min-z
     num_cells: int = 64  # cells per axis (covers +-96 m at 3 m cells)
+    # "grid" = the ground_seg the reference actually calls
+    # (src/additionNode.cpp:24); "fast" = the fast_ground_filter variant
+    # (ops/fast_ground.py, ref src/preProcess.cpp:56-346, parameterized by
+    # FastGroundConfig) with distance-weighted downsampling and per-grid
+    # normals — present but never called in the reference; exposed here as a
+    # first-class option.
+    method: str = "grid"
 
 
 @dataclass(frozen=True)
@@ -245,7 +252,15 @@ class PoseGraphConfig:
     degenerate directions (corridor along-track, facade-only z) are filled
     in by the motion model.  Replicated arithmetic — shard-safe as is."""
 
-    enabled: bool = False
+    # Default ON (VERDICT r3 #6 A/B, tools/out/pose_graph_ab.json): on the
+    # degenerate canyon world — the failure mode this back-end exists for —
+    # the smoother cuts drift 1.876% -> 0.659% (along-track RMSE 1.72 m ->
+    # 0.38 m); on geometry-rich worlds it is within noise of off (city
+    # circuit 0.332% vs 0.304%, structured canyon 0.374% vs 0.360%, fps
+    # unchanged).  Robustness to degenerate stretches wins the default;
+    # set pose_graph.enabled=false to recover the last few hundredths on
+    # rich worlds.
+    enabled: bool = True
     window: int = 8
     iters: int = 3
     # Weights A/B'd on the city circuit: stronger smoothness (w_xy=25,

@@ -50,7 +50,7 @@ def run_frontend(
        (ref: include/preProcess.hpp:646-736).
     """
     if use_ground_filter:
-        g = ground.segment_ground(xyz, valid, cfg.ground)
+        g = ground.segment_ground_dispatch(xyz, valid, cfg)
         ground_mask = g.ground_mask
         nonground = g.nonground_mask
     else:

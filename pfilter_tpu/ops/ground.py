@@ -106,3 +106,20 @@ def segment_ground(
     in_counted = cell_ok & band & (cell_cnt >= min_grid_pt_num)
     nonground = above_band | (in_counted & ~is_ground)
     return GroundResult(ground_mask=is_ground, nonground_mask=nonground)
+
+
+def segment_ground_dispatch(xyz, valid, pipeline_cfg) -> GroundResult:
+    """Ground segmentation by ``GroundConfig.method``: "grid" = the
+    reference's ground_seg (the only variant its launch graph calls,
+    src/additionNode.cpp:24); "fast" = the fast_ground_filter variant
+    (ops/fast_ground.py) whose distance-weighted downsampling also thins the
+    surviving masks.  ``pipeline_cfg`` is the full PipelineConfig (the fast
+    variant reads FastGroundConfig)."""
+    if pipeline_cfg.ground.method == "fast":
+        from pfilter_tpu.ops import fast_ground
+
+        r = fast_ground.fast_ground_filter(xyz, valid, pipeline_cfg.fast_ground)
+        return GroundResult(ground_mask=r.ground_mask, nonground_mask=r.nonground_mask)
+    if pipeline_cfg.ground.method != "grid":
+        raise ValueError(f"unknown ground.method {pipeline_cfg.ground.method!r}")
+    return segment_ground(xyz, valid, pipeline_cfg.ground)

@@ -860,7 +860,7 @@ def make_sharded_step(cfg: PipelineConfig, mesh, first: bool = False):
         if cfg.es_ground_filter:
             from pfilter_tpu.ops import ground as ground_ops
 
-            mask = ground_ops.segment_ground(xyz, mask, cfg.ground).nonground_mask
+            mask = ground_ops.segment_ground_dispatch(xyz, mask, cfg).nonground_mask
         if cfg.es_curved_filter:
             from pfilter_tpu.ops import dcvc as dcvc_ops
 

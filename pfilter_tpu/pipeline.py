@@ -86,7 +86,7 @@ class ESPipeline:
             if cfg.es_ground_filter:
                 from pfilter_tpu.ops import ground as ground_ops
 
-                g = ground_ops.segment_ground(xyz, mask, cfg.ground)
+                g = ground_ops.segment_ground_dispatch(xyz, mask, cfg)
                 mask = g.nonground_mask
             if cfg.es_curved_filter:
                 from pfilter_tpu.ops import dcvc as dcvc_ops

@@ -312,27 +312,81 @@ def make_city_world(
     )
 
 
-def make_canyon_world(length: float = 400.0, half_width: float = 8.0, height: float = 7.0) -> World:
-    """A degenerate urban canyon: two featureless parallel facades and a flat
-    ground plane — nothing else.  Lateral position, yaw, z, roll and pitch
-    are all well constrained (facade planes + ground), but the along-track
-    direction is *unobservable* from geometry: every scan looks identical
-    under x-translation.  This is exactly the failure mode the windowed
-    pose-graph smoother exists for (ops/pose_graph.py:4-13) — scan matching
-    contributes near-zero along-track information and the motion-model
-    factors must carry it.  Used by tools/pose_graph_ab.py (VERDICT r3 #6)."""
+def make_canyon_world(
+    length: float = 400.0,
+    half_width: float = 8.0,
+    height: float = 30.0,
+    structured_until: float = 25.0,
+    cross_every: float | None = None,
+) -> World:
+    """A degenerate urban canyon: two parallel facades and a flat ground
+    plane.  Between ``structured_until`` and ``length`` the walls are
+    FEATURELESS — lateral/yaw/z/roll/pitch stay constrained (facades +
+    ground) but the along-track direction is unobservable: every scan looks
+    identical under x-translation.  This is the failure mode the windowed
+    pose-graph smoother exists for (ops/pose_graph.py:4-13): scan matching
+    contributes near-zero along-track information there and the motion model
+    must carry it.  The zone before ``structured_until`` has cross-wall
+    stubs + poles so the estimator can establish its velocity with real
+    geometry first (a cold start INSIDE the degenerate stretch is unsolvable
+    for any odometry — nothing ever measures the speed).  ``cross_every``
+    adds a cross stub roughly every N meters along the whole run (the
+    non-degenerate control).
+
+    Two deliberate design choices keep the test honest: walls are TALL
+    (default 30 m) so no beam grazes the wall top — a finite wall's top
+    boundary sheds an x-running line of spurious high-curvature points whose
+    5-NN fits claim confident-but-wrong along-track information — and the
+    stub spacing is APERIODIC, so the scene never aliases onto itself under
+    x-translation.  Used by tools/pose_graph_ab.py (VERDICT r3 #6)."""
     walls_y = [
-        [-half_width, -50.0, length + 50.0, 0.0, height],
-        [half_width, -50.0, length + 50.0, 0.0, height],
+        [-half_width, -40.0, length + 40.0, 0.0, height],
+        [half_width, -40.0, length + 40.0, 0.0, height],
     ]
+    walls_x, poles = [], []
+    rng = np.random.default_rng(17)
+
+    def cross_stub(x):
+        # Perpendicular stubs protruding from both facades + an off-center
+        # pole: strong, aperiodic along-track geometry at this x.
+        depth = rng.uniform(1.5, 3.0)
+        for side in (-1.0, 1.0):
+            walls_x.append([x, side * (half_width - depth), side * half_width, 0.0, height])
+        poles.append(
+            [x + rng.uniform(0.5, 2.0), rng.uniform(-0.7, 0.7) * half_width,
+             rng.uniform(0.1, 0.2), rng.uniform(3.0, 6.0)]
+        )
+
+    x = -30.0
+    while x < structured_until:
+        cross_stub(x)
+        x += rng.uniform(4.0, 9.0)
+    if cross_every is not None:
+        x = structured_until + cross_every
+        while x < length + 30.0:
+            cross_stub(x)
+            x += cross_every * rng.uniform(0.7, 1.3)
+
     return World(
-        walls_x=np.zeros((0, 5), np.float32),
-        walls_y=np.array(walls_y, np.float32),
-        poles=np.zeros((0, 4), np.float32),
+        walls_x=np.array(walls_x, np.float32).reshape(-1, 5),
+        walls_y=np.array(walls_y, np.float32).reshape(-1, 5),
+        poles=np.array(poles, np.float32).reshape(-1, 4),
         ground_z=0.0,
         movers=np.zeros((0, 8), np.float32),
         clutter=np.zeros((0, 4), np.float32),
     )
+
+
+def make_ramp_trajectory(n_frames: int, speed: float = 1.5, ramp_frames: int = 12):
+    """Straight +x trajectory that accelerates from rest to ``speed`` over
+    ``ramp_frames`` (KITTI sequences start from rest or slow motion; an
+    instant-full-speed first frame is a cold start no odometry solves when
+    the local geometry is along-track-ambiguous)."""
+    v = np.minimum(np.arange(n_frames, dtype=np.float32) / max(ramp_frames, 1), 1.0) * speed
+    x = np.concatenate([[0.0], np.cumsum(v[1:])]).astype(np.float32)
+    qs = np.tile(np.array([1.0, 0, 0, 0], np.float32), (n_frames, 1))
+    ts = np.stack([x, np.zeros_like(x), np.full_like(x, 1.73)], -1)
+    return se3.Pose(q=qs, t=ts)
 
 
 def make_loop_trajectory(
@@ -460,6 +514,8 @@ def _ray_world_hits(origins, dirs, world: World, max_range: float, t_time=0.0):
 
     def wall_hits(vals, o_a, d_a, o_b, o_z, d_b, d_z):
         # vals: [W,5] = plane coord, b0, b1, z0, z1
+        if vals.shape[0] == 0:  # degenerate worlds (e.g. make_canyon_world)
+            return jnp.full(o.shape[0], big, jnp.float32)
         plane = vals[:, 0][None, :]
         t = (plane - o_a[:, None]) / jnp.where(jnp.abs(d_a[:, None]) < 1e-9, 1e-9, d_a[:, None])
         b = o_b[:, None] + t * d_b[:, None]
@@ -477,20 +533,23 @@ def _ray_world_hits(origins, dirs, world: World, max_range: float, t_time=0.0):
     t_wy = wall_hits(world.walls_y, o[:, 1], d[:, 1], o[:, 0], o[:, 2], d[:, 0], d[:, 2])
 
     # Poles: |o_xy + t d_xy - c|^2 = r^2, hit if 0 <= z <= h.
-    c = world.poles[:, :2]  # [P,2]
-    r = world.poles[:, 2][None]
-    h = world.poles[:, 3][None]
-    oc = o[:, None, :2] - c[None]  # [N,P,2]
-    dxy = d[:, None, :2]
-    a = jnp.sum(dxy * dxy, -1)
-    bq = 2 * jnp.sum(oc * dxy, -1)
-    cq = jnp.sum(oc * oc, -1) - r * r
-    disc = bq * bq - 4 * a * cq
-    sq = jnp.sqrt(jnp.maximum(disc, 0.0))
-    t1 = (-bq - sq) / jnp.maximum(2 * a, 1e-9)
-    z1 = o[:, None, 2] + t1 * d[:, None, 2]
-    ok = (disc > 0) & (t1 > 0.1) & (z1 >= 0.0) & (z1 <= h)
-    t_pole = jnp.min(jnp.where(ok, t1, big), axis=1)
+    if world.poles.shape[0] > 0:
+        c = world.poles[:, :2]  # [P,2]
+        r = world.poles[:, 2][None]
+        h = world.poles[:, 3][None]
+        oc = o[:, None, :2] - c[None]  # [N,P,2]
+        dxy = d[:, None, :2]
+        a = jnp.sum(dxy * dxy, -1)
+        bq = 2 * jnp.sum(oc * dxy, -1)
+        cq = jnp.sum(oc * oc, -1) - r * r
+        disc = bq * bq - 4 * a * cq
+        sq = jnp.sqrt(jnp.maximum(disc, 0.0))
+        t1 = (-bq - sq) / jnp.maximum(2 * a, 1e-9)
+        z1 = o[:, None, 2] + t1 * d[:, None, 2]
+        ok = (disc > 0) & (t1 > 0.1) & (z1 >= 0.0) & (z1 <= h)
+        t_pole = jnp.min(jnp.where(ok, t1, big), axis=1)
+    else:
+        t_pole = jnp.full(o.shape[0], big, jnp.float32)
 
     t_hit = jnp.minimum(jnp.minimum(t_ground, jnp.minimum(t_wx, t_wy)), t_pole)
 

@@ -52,13 +52,17 @@ def main():
     base = kitti_config()
     out = {"frames": args.frames, "worlds": {}}
 
+    length = args.frames * args.speed + 40.0
     worlds = {
-        "canyon": synthetic.make_canyon_world(length=args.frames * args.speed + 60.0),
-        "corridor_control": synthetic.make_world(seed=3, corridor_len=args.frames * args.speed + 40.0),
+        "canyon": synthetic.make_canyon_world(length=length),
+        "canyon_control": synthetic.make_canyon_world(length=length, cross_every=20.0),
     }
 
     for wname, world in worlds.items():
-        poses = synthetic.make_trajectory(args.frames, speed=args.speed, curve_amp=0.0)
+        # Ramp from rest: a cold start INSIDE along-track-ambiguous geometry
+        # is unsolvable for any odometry (nothing ever measures the speed);
+        # KITTI sequences start from rest too.
+        poses = synthetic.make_ramp_trajectory(args.frames, speed=args.speed)
         gt = metrics.poses_to_matrices(np.asarray(poses.q), np.asarray(poses.t))
         gt = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
         cap = base.capacity.scan_points
