@@ -344,11 +344,17 @@ def kitti_config() -> PipelineConfig:
         # cost scales with capacity, not occupancy, and all eight overflow
         # lanes fail loudly if a denser world ever fills one — raise the cap
         # that overflows, not all of them.
+        # r4 re-tightening (measured on the pinned 300-frame protocol):
+        # ds_surf 16384->8192 and surf_map 65536->32768 took the bench from
+        # 24.2 to 28.1 fps at unchanged drift (0.334) and zero overflow —
+        # steady-state occupancy is ~5.7k ds-surf voxels and ~15.2k surf map
+        # points, so the caps keep 1.4x/2.1x headroom.  A non-pow2
+        # scan_points (118784) hung XLA/Mosaic compilation — keep 131072.
         capacity=CapacityConfig(
             ds_edge_points=2048,
-            ds_surf_points=16384,
+            ds_surf_points=8192,
             edge_map_points=16384,
-            surf_map_points=65536,
+            surf_map_points=32768,
             # Tile caps sized to measured worst-case 3-tile halo-row
             # occupancy on the KITTI-like city world (edge rows peak ~490 of
             # w=3*256, surf ~310 of w=3*256) — FrameDiag lane 6 counts any
