@@ -117,6 +117,10 @@ def cluster(
 
     occupied = vox < big
 
+    # Plain iterated min-pool.  (Pointer jumping — flat[label] — would
+    # converge in O(log diameter) rounds but measured 12x SLOWER on TPU:
+    # a 3M-element random gather per round is exactly the pointer-chasing
+    # access pattern the dense separable min-pool exists to avoid.)
     def body(_, lab):
         pooled = pool(lab)
         return jnp.where(occupied, pooled, big)

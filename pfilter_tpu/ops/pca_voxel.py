@@ -244,12 +244,18 @@ def voxel_pca_classify(
     xyz: jnp.ndarray,
     valid: jnp.ndarray,
     cfg: PCAClassifyConfig,
-    max_voxels: int = 32768,
+    max_voxels: int = 16384,
 ) -> VoxelClassifyResult:
     """Classify at voxel resolution, propagate labels to points: the
     frontend's production path (ref classifies every non-ground point,
     include/preProcess.hpp:646-736, then BPF odometry voxelizes each class —
-    voxel-level labels at ``voxel_leaf`` < the odometry leafs lose nothing)."""
+    voxel-level labels at ``voxel_leaf`` < the odometry leafs lose nothing).
+
+    ``max_voxels`` 16384 (was 32768): the segment-reduce and the 27-gather
+    cube loop scale with the row count, and the measured occupancy on the
+    HDL-64 city scan is ~1.0k non-ground voxels — 16384 keeps 16x headroom
+    and cuts this stage 19.1 -> 13.7 ms; ``n_voxel_dropped`` fails loudly
+    if a denser world ever exceeds it."""
     leaf = cfg.voxel_leaf
     tbl = _build_table(xyz, valid, leaf, max_voxels)
     total = _cube_moments_rows(tbl, leaf)
