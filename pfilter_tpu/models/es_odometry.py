@@ -87,17 +87,25 @@ class FrameDiag(NamedTuple):
     surf_map_size: jnp.ndarray
     dropped: jnp.ndarray = False  # device-side corrupt-frame guard fired
     overflow: jnp.ndarray = 0  # [8] int32 counters, lanes in OVERFLOW_LANES
+    # [2] int32 (edge, surf) mover-contaminated map points — populated only
+    # when the provenance channel is on (rg width 3; see init_state).
+    contam: jnp.ndarray = 0
 
 
 def zero_overflow() -> jnp.ndarray:
     return jnp.zeros(len(OVERFLOW_LANES), jnp.int32)
 
 
-def init_state(cfg: PipelineConfig) -> ESState:
+def init_state(cfg: PipelineConfig, rg_width: int = 2) -> ESState:
+    """``rg_width=3`` enables the ground-truth provenance channel: rg column 2
+    carries a mover-origin bit that rides the exact same voxel max-merge as
+    the persistence counters, so every surviving map point knows whether any
+    contributing return hit a dynamic object (diagnostic instrumentation for
+    the persistence-filter contamination study; zero effect on the pose)."""
     k = cfg.pose_graph.window
     return ESState(
-        edge_map=map_state.empty_index(cfg, "edge"),
-        surf_map=map_state.empty_index(cfg, "surf"),
+        edge_map=map_state.empty_index(cfg, "edge", rg_width),
+        surf_map=map_state.empty_index(cfg, "surf", rg_width),
         pose=se3.identity_pose(),
         last_pose=se3.identity_pose(),
         opt_count=jnp.asarray(cfg.odometry.max_outer_iters, jnp.int32),
@@ -115,14 +123,33 @@ def _compact(xyz: jnp.ndarray, mask: jnp.ndarray, out_cap: int):
     return xyz[idx], valid
 
 
-def first_frame(state: ESState, feat, cfg: PipelineConfig) -> ESState:
+def _compact_idx(xyz: jnp.ndarray, mask: jnp.ndarray, out_cap: int):
+    """:func:`_compact` that also returns the gather indices (provenance)."""
+    idx = jnp.nonzero(mask, size=out_cap, fill_value=xyz.shape[0] - 1)[0]
+    valid = jnp.arange(out_cap) < jnp.sum(mask.astype(jnp.int32))
+    return xyz[idx], valid, idx
+
+
+def _scan_rg(valid, idx, width: int, cap: int, mover):
+    """Fresh scan-point rg block; column 2 gets the mover-provenance bit."""
+    rg = jnp.zeros((cap, width), jnp.float32)
+    if mover is not None:
+        bit = jnp.where(valid, mover[idx].astype(jnp.float32), 0.0)
+        rg = rg.at[:, 2].set(bit)
+    return rg
+
+
+def first_frame(state: ESState, feat, cfg: PipelineConfig, mover=None) -> ESState:
     """Seed the maps with the raw first-scan features
-    (ref ``initMapWithPoints``, src/odomEstimationClass.cpp:217-222)."""
+    (ref ``initMapWithPoints``, src/odomEstimationClass.cpp:217-222).
+    ``mover`` is an optional [R*C] mover-origin mask aligned with feat.xyz
+    (requires init_state(rg_width=3))."""
     cap = cfg.capacity
-    e_xyz, e_valid = _compact(feat.xyz, feat.edge_mask, cap.edge_map_points)
-    s_xyz, s_valid = _compact(feat.xyz, feat.surf_mask, cap.surf_map_points)
-    zeros_e = jnp.zeros((cap.edge_map_points, 2), jnp.float32)
-    zeros_s = jnp.zeros((cap.surf_map_points, 2), jnp.float32)
+    w = state.edge_map.rg.shape[1]
+    e_xyz, e_valid, e_idx = _compact_idx(feat.xyz, feat.edge_mask, cap.edge_map_points)
+    s_xyz, s_valid, s_idx = _compact_idx(feat.xyz, feat.surf_mask, cap.surf_map_points)
+    zeros_e = _scan_rg(e_valid, e_idx, w, cap.edge_map_points, mover)
+    zeros_s = _scan_rg(s_valid, s_idx, w, cap.surf_map_points, mover)
     origin_t = state.pose.t
     return state._replace(
         edge_map=map_state.build_index(e_xyz, zeros_e, e_valid, origin_t, cfg, "edge"),
@@ -209,7 +236,8 @@ def _associate(
     valid_corr = matched & ~gated_out
 
     # Write r/g back into the scan point (ref: :354-355) — these travel into
-    # the map at merge time.
+    # the map at merge time.  Columns beyond 2 (provenance channel) keep the
+    # scan point's own values.
     new_rg = jnp.stack(
         [
             jnp.minimum(o.counter_cap, jnp.floor(round_)),
@@ -217,6 +245,7 @@ def _associate(
         ],
         -1,
     )
+    new_rg = jnp.concatenate([new_rg, scan_rg[:, 2:]], axis=-1)
     scan_rg = jnp.where(valid_corr[:, None], new_rg, scan_rg)
 
     # Sparsity statistic (ref: :367-385): mean distance of the 5 neighbors to
@@ -574,6 +603,8 @@ def _es_outer_assoc_once(
             ],
             -1,
         )
+        # Provenance columns (if any) keep the scan point's own values.
+        new_rg = jnp.concatenate([new_rg, ds_rg[:, 2:]], axis=-1)
         return jnp.where(vc_union[:, None], new_rg, ds_rg)
 
     se_rg = writeback(ea, (e_m0 & ea.pers_ok) | e_vc, ds_edge.rg)
@@ -581,12 +612,15 @@ def _es_outer_assoc_once(
     return q, t_l, e_rg, s_rg, se_rg, ss_rg, e_vc.sum(), s_vc.sum(), h_fin
 
 
-def es_step(state: ESState, feat, cfg: PipelineConfig):
+def es_step(state: ESState, feat, cfg: PipelineConfig, mover=None):
     """One odometry frame (ref ``updatePointsToMap``,
     src/odomEstimationClass.cpp:229-282).  ``feat`` is a FeatureResult from
-    ops.features.  Returns (new_state, FrameDiag)."""
+    ops.features.  ``mover`` is an optional [R*C] mover-origin mask aligned
+    with feat.xyz (provenance diagnostics; requires init_state(rg_width=3)).
+    Returns (new_state, FrameDiag)."""
     o = cfg.odometry
     cap = cfg.capacity
+    w = state.edge_map.rg.shape[1]
 
     opt_count = jnp.maximum(o.min_outer_iters, state.opt_count - 1)
     pred = se3.constant_velocity_predict(state.pose, state.last_pose)
@@ -594,17 +628,17 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
 
     # Downsample feature clouds (ref: :242-245; edge at map_resolution, surf
     # at 2x — the same leaf sizes as the map rgbds).
-    e_xyz, e_valid = _compact(feat.xyz, feat.edge_mask, cap.edge_points)
-    s_xyz, s_valid = _compact(feat.xyz, feat.surf_mask, cap.surf_points)
+    e_xyz, e_valid, e_idx = _compact_idx(feat.xyz, feat.edge_mask, cap.edge_points)
+    s_xyz, s_valid, s_idx = _compact_idx(feat.xyz, feat.surf_mask, cap.surf_points)
     over_e_compact = jnp.maximum(feat.edge_mask.sum() - cap.edge_points, 0)
     over_s_compact = jnp.maximum(feat.surf_mask.sum() - cap.surf_points, 0)
     ds_edge, over_ds_e = voxel.voxel_downsample_rgbds_counted(
-        voxel.PointSet(e_xyz, jnp.zeros((cap.edge_points, 2), jnp.float32), e_valid),
+        voxel.PointSet(e_xyz, _scan_rg(e_valid, e_idx, w, cap.edge_points, mover), e_valid),
         o.map_resolution,
         cap.ds_edge_points,
     )
     ds_surf, over_ds_s = voxel.voxel_downsample_rgbds_counted(
-        voxel.PointSet(s_xyz, jnp.zeros((cap.surf_points, 2), jnp.float32), s_valid),
+        voxel.PointSet(s_xyz, _scan_rg(s_valid, s_idx, w, cap.surf_points, mover), s_valid),
         o.map_resolution * 2.0,
         cap.ds_surf_points,
     )
@@ -760,6 +794,18 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
         pg_h=pg_h,
         pg_valid=pg_valid,
     )
+    # Mover-contamination census (provenance channel only): surviving map
+    # points whose voxel ever absorbed a dynamic-object return.
+    if w > 2:
+        contam = jnp.stack(
+            [
+                (new_edge.valid & (new_edge.rg[:, 2] > 0.5)).sum(),
+                (new_surf.valid & (new_surf.rg[:, 2] > 0.5)).sum(),
+            ]
+        ).astype(jnp.int32)
+    else:
+        contam = jnp.asarray(0, jnp.int32)
+
     diag = FrameDiag(
         n_edge_corr=ne,
         n_surf_corr=ns,
@@ -767,5 +813,6 @@ def es_step(state: ESState, feat, cfg: PipelineConfig):
         surf_map_size=new_surf.valid.sum(),
         dropped=dropped,
         overflow=overflow,
+        contam=contam,
     )
     return new_state, diag

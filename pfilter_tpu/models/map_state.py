@@ -108,10 +108,13 @@ def map_capacity(cfg: PipelineConfig, kind: str) -> int:
     return cfg.capacity.edge_map_points if is_line_kind(kind) else cfg.capacity.surf_map_points
 
 
-def empty_index(cfg: PipelineConfig, kind: str):
+def empty_index(cfg: PipelineConfig, kind: str, rg_width: int = 2):
+    """``rg_width=3`` adds the provenance channel (diagnostics only): column 2
+    carries a mover-origin bit, max-merged per voxel like the counters — the
+    ground-truth contamination instrumentation for the persistence A/B."""
     capacity = map_capacity(cfg, kind)
     zeros = jnp.zeros((capacity, 3), jnp.float32)
-    zrg = jnp.zeros((capacity, 2), jnp.float32)
+    zrg = jnp.zeros((capacity, rg_width), jnp.float32)
     invalid = jnp.zeros(capacity, bool)
     return build_index(zeros, zrg, invalid, jnp.zeros(3, jnp.float32), cfg, kind)
 

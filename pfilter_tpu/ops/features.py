@@ -118,6 +118,33 @@ def bin_rings(
     return RingGrid(xyz=dense_xyz, valid=dense_valid, length=length)
 
 
+def bin_extra(
+    xyz: jnp.ndarray,
+    mask: jnp.ndarray,
+    extra: jnp.ndarray,
+    lidar: LidarConfig,
+    cap: CapacityConfig,
+) -> jnp.ndarray:
+    """Route a per-point scalar channel through the exact same dense ring-grid
+    scatter as :func:`bin_rings`, returning it flattened to [R*C] — aligned
+    with ``FeatureResult.xyz``.  Used to carry ground-truth provenance (e.g.
+    the renderer's mover-origin mask) alongside the scan into the odometry
+    step's diagnostics."""
+    R, C = lidar.num_lines, cap.ring_points
+    ring, valid = ring_ids(xyz, mask, lidar)
+    order = jnp.argsort(ring, stable=True)
+    sorted_ring = ring[order]
+    n_pts = xyz.shape[0]
+    ring_start = jnp.searchsorted(sorted_ring, jnp.arange(R + 1, dtype=jnp.int32))
+    rank = jnp.arange(n_pts, dtype=jnp.int32) - ring_start[jnp.clip(sorted_ring, 0, R)]
+    in_cap = (rank < C) & (sorted_ring < R)
+    r_idx = jnp.where(in_cap, sorted_ring, R)
+    c_idx = jnp.where(in_cap, rank, C)
+    dense = jnp.zeros((R, C), extra.dtype)
+    dense = dense.at[r_idx, c_idx].set(extra[order], mode="drop")
+    return dense.reshape(-1)
+
+
 def _window_sum(x: jnp.ndarray, half: int) -> jnp.ndarray:
     """Sum over a (2*half+1)-tap window along axis 1 (zero padded)."""
     pad = jnp.pad(x, ((0, 0), (half, half), (0, 0)))

@@ -97,14 +97,19 @@ def segment_ground(
         & cell_reliable
         & ((z - cell_minz) < max_height_difference)
     )
-    # Non-ground set mirrors the reference exactly: points above the ground
-    # band pass straight through (ref :436-437); band points in populated
-    # cells that fail a test are non-ground (ref :483, :489); band points in
+    # Non-ground set mirrors the reference: points above the ground band pass
+    # straight through (ref :436-437); band points in populated cells that
+    # fail a test are non-ground (ref :483, :489); band points in
     # under-populated cells are *dropped* (the reference's grid loop never
-    # emits them, ref :473).
+    # emits them, ref :473).  Valid points OUTSIDE the static grid window
+    # also pass through as non-ground (ADVICE r4: the reference's grid covers
+    # the cloud's bounding box, so "outside the window" does not exist there;
+    # silently dropping far points here would diverge for lidar ranges beyond
+    # num_cells*grid_size/2).
+    out_window = valid & ~in_window
     above_band = cell_ok & (z > max_ground_height)
     in_counted = cell_ok & band & (cell_cnt >= min_grid_pt_num)
-    nonground = above_band | (in_counted & ~is_ground)
+    nonground = out_window | above_band | (in_counted & ~is_ground)
     return GroundResult(ground_mask=is_ground, nonground_mask=nonground)
 
 

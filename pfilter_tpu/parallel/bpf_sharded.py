@@ -275,6 +275,7 @@ def _first_frame_block(state: BPFState, xyz, masks, cfg, n_map):
     the single-chip seed map (ref: src/odomEstimationClass.cpp:689-695)."""
     me = lax.axis_index(MAP_AXIS)
     new_maps = {}
+    seed_over = []
     for kind in CHANNELS:
         leaf = _leaf(cfg, kind)
         cap_local = _local_capacity(cfg, kind, n_map)
@@ -290,15 +291,24 @@ def _first_frame_block(state: BPFState, xyz, masks, cfg, n_map):
             map_state.map_capacity(cfg, kind),
         )
         own = (voxel.spatial_hash(seed.xyz, leaf) % n_map) == me
+        # First-frame overflow (ADVICE r4): a hash-skewed seed scan can exceed
+        # one shard's capacity slice and _compact silently truncates — count
+        # the excess so the loud-overflow invariant covers frame 1 too.
+        seed_over.append(
+            lax.psum(
+                jnp.maximum((seed.valid & own).sum() - cap_local, 0), MAP_AXIS
+            ).astype(jnp.int32)
+        )
         oxyz, ovalid = es_odometry._compact(seed.xyz, seed.valid & own, cap_local)
         rg = jnp.zeros((cap_local, 2), jnp.float32)
         new_maps[kind] = map_state.build_index(oxyz, rg, ovalid, state.pose.t, cfg, kind)
-    return state._replace(
+    state = state._replace(
         beam_map=new_maps["beam"],
         pillar_map=new_maps["pillar"],
         facade_map=new_maps["facade"],
         opt_count=jnp.asarray(cfg.odometry.max_outer_iters, jnp.int32),
     )
+    return state, jnp.stack(seed_over)
 
 
 def _bpf_step_block(state: BPFState, xyz, masks, cfg: PipelineConfig, n_map: int):
@@ -485,7 +495,10 @@ def make_sharded_step(cfg: PipelineConfig, mesh, first: bool = False):
         fr = bpf_frontend.run_frontend(xyz, mask, cfg)
         masks = {"beam": fr.beam_mask, "pillar": fr.pillar_mask, "facade": fr.facade_mask}
         if first:
-            new_state = _first_frame_block(state, xyz, masks, cfg, n_map)
+            new_state, seed_over = _first_frame_block(state, xyz, masks, cfg, n_map)
+            # Seed truncation reported in the merge lane (column 2) of the
+            # per-channel overflow rows — frame 1's version of map overflow.
+            overflow0 = jnp.zeros((3, 4), jnp.int32).at[:, 2].set(seed_over)
             diag = BPFDiag(
                 n_corr=jnp.zeros(3, jnp.int32),
                 map_sizes=jnp.stack(
@@ -495,7 +508,7 @@ def make_sharded_step(cfg: PipelineConfig, mesh, first: bool = False):
                     ]
                 ),
                 dropped=jnp.asarray(False),
-                overflow=jnp.zeros((3, 4), jnp.int32),
+                overflow=overflow0,
             )
         else:
             new_state, diag = _bpf_step_block(state, xyz, masks, cfg, n_map)

@@ -799,6 +799,7 @@ def _es_step_block(state, feat, cfg: PipelineConfig, n_map: int):
         surf_map_size=lax.psum(new_surf.valid.sum(), MAP_AXIS),
         dropped=dropped,
         overflow=overflow,
+        contam=jnp.zeros(2, jnp.int32),
     )
     return new_state, diag
 
@@ -875,6 +876,7 @@ def make_sharded_step(cfg: PipelineConfig, mesh, first: bool = False):
                 surf_map_size=lax.psum(new_state.surf_map.valid.sum(), MAP_AXIS),
                 dropped=jnp.asarray(False),
                 overflow=es_odometry.zero_overflow(),
+                contam=jnp.zeros(2, jnp.int32),
             )
         else:
             new_state, diag = _es_step_block(state, feat, cfg, n_map)
@@ -887,6 +889,7 @@ def make_sharded_step(cfg: PipelineConfig, mesh, first: bool = False):
         surf_map_size=P("seq"),
         dropped=P("seq"),
         overflow=P("seq", None),
+        contam=P("seq", None),
     )
     sharded = jax.shard_map(
         block_fn,

@@ -35,6 +35,8 @@ class FrameRecord:
     # raw-scan truncation count; all zero in a correctly-capacitied run.
     overflow: np.ndarray = None
     n_scan_trunc: int = 0
+    # [2] (edge, surf) mover-contaminated map points (provenance mode only).
+    contam: np.ndarray = None
 
 
 @dataclass
@@ -66,6 +68,11 @@ class ESPipeline:
     sync: bool = True
     fetch_lag: int = 4
     n_dropped: int = 0
+    # Ground-truth provenance mode (persistence contamination study): scans
+    # carry a per-point mover-origin mask; the map's rg gains a third channel
+    # whose per-frame census lands in FrameRecord.contam.  Zero effect on the
+    # estimated trajectory (the pose path never reads the channel).
+    provenance: bool = False
     _n_frames: int = 0
 
     def __post_init__(self):
@@ -79,7 +86,7 @@ class ESPipeline:
         self.cfg = cfg
         self._pending: list = []
 
-        def _extract(xyz, mask):
+        def _apply_frontend(xyz, mask):
             # Optional ES front-end (cfg.es_ground_filter / es_curved_filter):
             # the reference's curvedVoxel_node preprocessing for the ES
             # pipeline (src/additionNode.cpp:12-54 with featurePreExtract=0).
@@ -93,15 +100,25 @@ class ESPipeline:
 
                 c = dcvc_ops.cluster(xyz, mask, cfg.dcvc, cfg.lidar)
                 mask = c.keep
+            return mask
+
+        def _extract(xyz, mask):
+            mask = _apply_frontend(xyz, mask)
             return features.extract_features(xyz, mask, cfg.lidar, cfg.features, cfg.capacity)
 
-        def _first(state, feat):
-            return es_odometry.first_frame(state, feat, cfg)
+        def _extract_prov(xyz, mask, mover):
+            mask = _apply_frontend(xyz, mask)
+            feat = features.extract_features(xyz, mask, cfg.lidar, cfg.features, cfg.capacity)
+            mgrid = features.bin_extra(xyz, mask, mover, cfg.lidar, cfg.capacity)
+            return feat, mgrid
 
-        def _step(state, feat):
-            return es_odometry.es_step(state, feat, cfg)
+        def _first(state, feat, mover=None):
+            return es_odometry.first_frame(state, feat, cfg, mover=mover)
 
-        self._extract = jax.jit(_extract)
+        def _step(state, feat, mover=None):
+            return es_odometry.es_step(state, feat, cfg, mover=mover)
+
+        self._extract = jax.jit(_extract_prov if self.provenance else _extract)
         self._first = jax.jit(_first)
         # No donation: deferred fetches keep references to result buffers.
         self._step = jax.jit(_step)
@@ -136,6 +153,7 @@ class ESPipeline:
             ms=(time.perf_counter() - t0) * 1e3,
             overflow=np.asarray(diag.overflow),
             n_scan_trunc=n_trunc,
+            contam=np.atleast_1d(np.asarray(diag.contam)),
         )
         self.records.append(rec)
         return rec
@@ -154,8 +172,9 @@ class ESPipeline:
             self._drain_one()
         return self.records
 
-    def process_frame(self, xyz, valid=None) -> Optional[FrameRecord]:
-        """Feed one sensor-frame scan ([N,3] float32 + optional validity).
+    def process_frame(self, xyz, valid=None, mover=None) -> Optional[FrameRecord]:
+        """Feed one sensor-frame scan ([N,3] float32 + optional validity;
+        ``mover`` [N] bool required iff ``provenance=True``).
 
         Returns the completed FrameRecord in sync mode; in async mode returns
         the record of the frame ``fetch_lag`` frames ago (or None while the
@@ -171,10 +190,15 @@ class ESPipeline:
                 if valid is not None
                 else jnp.ones(xyz.shape[0], bool)
             )
-        feat = self._extract(xyz_d, mask_d)
+        if self.provenance:
+            feat, mgrid = self._extract(xyz_d, mask_d, mover)
+        else:
+            feat, mgrid = self._extract(xyz_d, mask_d), None
         if self.state is None:
-            self.state = es_odometry.init_state(self.cfg)
-            self.state = self._first(self.state, feat)
+            self.state = es_odometry.init_state(
+                self.cfg, rg_width=3 if self.provenance else 2
+            )
+            self.state = self._first(self.state, feat, mgrid)
             diag = es_odometry.FrameDiag(
                 n_edge_corr=jnp.asarray(0),
                 n_surf_corr=jnp.asarray(0),
@@ -182,9 +206,19 @@ class ESPipeline:
                 surf_map_size=self.state.surf_map.valid.sum(),
                 dropped=jnp.asarray(False),
                 overflow=es_odometry.zero_overflow(),
+                contam=(
+                    jnp.stack(
+                        [
+                            (self.state.edge_map.valid & (self.state.edge_map.rg[:, 2] > 0.5)).sum(),
+                            (self.state.surf_map.valid & (self.state.surf_map.rg[:, 2] > 0.5)).sum(),
+                        ]
+                    )
+                    if self.provenance
+                    else jnp.asarray(0, jnp.int32)
+                ),
             )
         else:
-            self.state, diag = self._step(self.state, feat)
+            self.state, diag = self._step(self.state, feat, mgrid)
         self._pending.append(
             (t0, self._last_scan_trunc, (self.state.pose.q, self.state.pose.t, diag))
         )

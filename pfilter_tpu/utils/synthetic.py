@@ -146,6 +146,7 @@ def make_city_world(
     clutter_per_block: float = 3.0,
     parked_per_side: float = 3.0,
     outer_ring: bool = True,
+    mover_speed: tuple = (0.5, 2.5),
 ) -> World:
     """A Manhattan grid of city blocks for KITTI-protocol evaluation: each
     block holds 2-4 axis-aligned buildings (facades, eave ledges, corner
@@ -288,7 +289,10 @@ def make_city_world(
     for _ in range(n_movers):
         horizontal = rng.uniform() < 0.5
         lane_off = rng.choice([-1.0, 1.0]) * rng.uniform(1.5, 4.0)
-        speed = rng.uniform(0.5, 2.5) * rng.choice([-1.0, 1.0])
+        # mover_speed is meters per frame (10 Hz: (0.5, 2.5) = 18-90 km/h
+        # traffic; a low floor adds crawling movers — the semi-stable
+        # lingerers that stress persistence eviction hardest).
+        speed = rng.uniform(*mover_speed) * rng.choice([-1.0, 1.0])
         if horizontal:
             iy = rng.integers(0, n_blocks_y + 1)
             cy = iy * pitch - street_w / 2.0 + lane_off
@@ -301,6 +305,120 @@ def make_city_world(
             movers.append([cx, rng.uniform(0, ext_y), 0.0, speed,
                            rng.uniform(0.8, 1.1), rng.uniform(1.8, 2.6),
                            rng.uniform(1.3, 2.0), 0.0])
+
+    return World(
+        walls_x=np.array(walls_x, np.float32).reshape(-1, 5),
+        walls_y=np.array(walls_y, np.float32).reshape(-1, 5),
+        poles=np.array(poles, np.float32).reshape(-1, 4),
+        ground_z=0.0,
+        movers=np.array(movers, np.float32).reshape(-1, 8),
+        clutter=np.array(clutter, np.float32).reshape(-1, 4),
+    )
+
+
+def make_highway_world(
+    length: float = 700.0,
+    seed: int = 23,
+    n_traffic: int = 110,
+    jam_frac: float = 0.25,
+    barrier_coverage: float = 0.45,
+    clutter_per_100m: float = 8.0,
+) -> World:
+    """A sparse-geometry highway with heavy traffic — the regime where the
+    persistence filter's value proposition actually lives.
+
+    The reference's KITTI gains concentrate on road/highway sequences
+    (seq 01: FLOAM 1.9504% vs PFilter 1.8055%, README.md:50): few reliable
+    static features (guardrails are along-track-invariant, poles/gantries are
+    sparse) while moving trucks dominate the scene, so a map polluted with
+    vehicle ghosts actively biases the weakly-constrained along-track
+    direction.  A feature-dense city grid never tests this — there the map
+    is so over-constrained that extra (even contaminated) points only help
+    (measured: tools/out/theta_sweep_dyn_r05.json, drift monotone in map
+    size).
+
+    Geometry: ground, continuous low guardrails at +-7.2 m, intermittent
+    noise barriers further out, lamp poles every ~35 m, sign gantries
+    (crossbeam + posts) every ~130 m, roadside vegetation clutter.  Traffic:
+    ``n_traffic`` box vehicles over 4 lanes (ego drives y=0, same-direction
+    lanes at +1.8/+4.8, oncoming at -3.4/-6.6); a ``jam_frac`` fraction
+    crawls at 0.05-0.5 m/frame (the semi-stable lingerers hardest for
+    eviction).  Pair with :func:`make_ramp_trajectory` at ~2.0 m/frame."""
+    rng = np.random.default_rng(seed)
+    walls_x, walls_y, poles, clutter = [], [], [], []
+
+    for y in (-7.2, 7.2):  # guardrails
+        walls_y.append([y, -40.0, length + 40.0, 0.4, 0.8])
+        # Guardrail POSTS every ~4 m: without them every static surface on
+        # the empty road (ground, rail, barriers) is an x-invariant plane and
+        # along-track is unobservable — scan matching collapses with or
+        # without traffic (measured: drift 100% at n_traffic=0).  Real rails
+        # are post-mounted; their returns are what real highway odometry
+        # actually locks onto.
+        x = -40.0
+        while x < length + 40.0:
+            poles.append([x, y, 0.07, 0.72])
+            x += rng.uniform(3.5, 4.5)
+
+    # Distance-marker posts every ~50 m, both shoulders.
+    x = 10.0
+    while x < length:
+        poles.append([x, rng.choice([-1.0, 1.0]) * 8.6, 0.055, 1.1])
+        x += rng.uniform(45.0, 55.0)
+
+    for side in (-1.0, 1.0):  # intermittent noise barriers / cut slopes
+        x = -30.0
+        while x < length + 30.0:
+            w = rng.uniform(25.0, 70.0)
+            if rng.uniform() < barrier_coverage:
+                y = side * rng.uniform(13.0, 18.0)
+                h = rng.uniform(2.5, 4.5)
+                walls_y.append([y, x, x + w, 0.0, h])
+                # End caps: the only x-facing planes a barrier contributes.
+                walls_x.append([x, min(y, y + side * 0.4), max(y, y + side * 0.4), 0.0, h])
+                walls_x.append([x + w, min(y, y + side * 0.4), max(y, y + side * 0.4), 0.0, h])
+            x += w + rng.uniform(10.0, 40.0)
+
+    x, k = 0.0, 0  # lamp poles, alternating sides
+    while x < length:
+        side = -1.0 if k % 2 else 1.0
+        poles.append(
+            [x, side * rng.uniform(7.8, 8.6), rng.uniform(0.10, 0.18), rng.uniform(6.0, 9.0)]
+        )
+        x += rng.uniform(30.0, 42.0)
+        k += 1
+
+    x = rng.uniform(60.0, 100.0)  # sign gantries: crossbeam + two posts
+    while x < length:
+        walls_x.append([x, -9.0, 9.0, 5.4, 6.0])
+        poles.append([x, -9.2, 0.25, 5.6])
+        poles.append([x, 9.2, 0.25, 5.6])
+        x += rng.uniform(110.0, 160.0)
+
+    for _ in range(int(clutter_per_100m * length / 100.0)):
+        cx = rng.uniform(-20.0, length + 20.0)
+        cy = rng.choice([-1.0, 1.0]) * rng.uniform(9.0, 20.0)
+        r = rng.uniform(0.5, 1.6)
+        clutter.append([cx, cy, r * rng.uniform(0.7, 1.2), r])
+
+    movers = []
+    for _ in range(n_traffic):
+        # Ego drives y=0; traffic in the adjacent/far lanes both directions
+        # (no movers in the ego lane itself — the ego would clip through
+        # slower boxes, and rays cast from inside an AABB return garbage).
+        lane = rng.choice([-6.6, -3.4, 1.8, 4.8])
+        oncoming = lane < 0
+        if rng.uniform() < jam_frac:
+            speed = rng.uniform(0.05, 0.5)
+        else:
+            speed = rng.uniform(1.2, 2.8)
+        vx = -speed if oncoming else speed
+        # Long axis along x (direction of travel): cars 4-5 m, trucks to 9 m.
+        movers.append(
+            [rng.uniform(-30.0, length + 30.0), lane + rng.uniform(-0.35, 0.35),
+             vx, 0.0, rng.uniform(2.0, 4.5), rng.uniform(0.85, 1.25),
+             rng.uniform(1.4, 3.2), 0.0]
+        )
 
     return World(
         walls_x=np.array(walls_x, np.float32).reshape(-1, 5),
@@ -351,7 +469,12 @@ def make_canyon_world(
         # pole: strong, aperiodic along-track geometry at this x.
         depth = rng.uniform(1.5, 3.0)
         for side in (-1.0, 1.0):
-            walls_x.append([x, side * (half_width - depth), side * half_width, 0.0, height])
+            # Bounds must be ordered (wall_hits requires b0 <= b <= b1); for
+            # side=-1 the raw products come out reversed (ADVICE r4 medium:
+            # every -y stub was invisible to the ray caster, halving the
+            # structured geometry the canyon A/B relies on).
+            b0, b1 = side * (half_width - depth), side * half_width
+            walls_x.append([x, min(b0, b1), max(b0, b1), 0.0, height])
         poles.append(
             [x + rng.uniform(0.5, 2.0), rng.uniform(-0.7, 0.7) * half_width,
              rng.uniform(0.1, 0.2), rng.uniform(3.0, 6.0)]
@@ -502,9 +625,12 @@ def make_trajectory(
 
 
 def _ray_world_hits(origins, dirs, world: World, max_range: float, t_time=0.0):
-    """Vectorized ray vs (ground, walls, poles, movers, clutter). Returns hit
-    distance t [N] (max_range+1 where nothing is hit).  ``t_time`` advances
-    the dynamic movers (frame index; mover speeds are meters per frame)."""
+    """Vectorized ray vs (ground, walls, poles, movers, clutter). Returns
+    ``(t [N], is_mover [N])`` — hit distance (max_range+1 where nothing is
+    hit) and whether the nearest hit was a dynamic mover (ground-truth
+    provenance for the persistence-filter contamination diagnostic).
+    ``t_time`` advances the dynamic movers (frame index; mover speeds are
+    meters per frame)."""
     big = max_range * 2.0
     o, d = origins, dirs
 
@@ -552,6 +678,7 @@ def _ray_world_hits(origins, dirs, world: World, max_range: float, t_time=0.0):
         t_pole = jnp.full(o.shape[0], big, jnp.float32)
 
     t_hit = jnp.minimum(jnp.minimum(t_ground, jnp.minimum(t_wx, t_wy)), t_pole)
+    t_static = t_hit
 
     # Dynamic movers: axis-aligned boxes translated to c0 + v * t_time
     # (slab-method ray-AABB).
@@ -585,8 +712,12 @@ def _ray_world_hits(origins, dirs, world: World, max_range: float, t_time=0.0):
         oks = (disc2 > 0) & (ts1 > 0.1)
         t_cl = jnp.min(jnp.where(oks, ts1, big), axis=1)
         t_hit = jnp.minimum(t_hit, t_cl)
+        t_static = jnp.minimum(t_static, t_cl)
 
-    return t_hit
+    # A return is mover-origin iff the nearest hit overall beat every static
+    # primitive (clutter counts as static: foliage is noisy but not dynamic).
+    is_mover = t_hit < t_static
+    return t_hit, is_mover
 
 
 def render_scan(
@@ -597,10 +728,13 @@ def render_scan(
     noise: float = 0.01,
     seed: int = 0,
     t_time=0.0,
+    return_mover: bool = False,
 ):
     """Ray-cast one scan.  Returns (xyz_sensor [R*A, 3], valid [R*A]) in
     ring-major order (matching the within-ring azimuth ordering the feature
-    extractor expects).  ``t_time`` (frame index) advances dynamic movers."""
+    extractor expects).  ``t_time`` (frame index) advances dynamic movers.
+    With ``return_mover=True`` also returns the per-point mover-origin mask
+    (ground-truth provenance for the contamination diagnostic)."""
     # Beam direction table in pure numpy: it is a trace-time constant, and
     # np keeps its construction off the device (see World docstring).
     elev = np.radians(beam_elevations(lidar.num_lines)).astype(np.float32)
@@ -619,7 +753,9 @@ def render_scan(
 
     dirs_world = se3.quat_rotate(pose.q, dirs_sensor)
     origins = jnp.broadcast_to(pose.t, dirs_world.shape)
-    t = _ray_world_hits(origins, dirs_world, world, lidar.max_distance, t_time=t_time)
+    t, is_mover = _ray_world_hits(
+        origins, dirs_world, world, lidar.max_distance, t_time=t_time
+    )
 
     key = jax.random.PRNGKey(seed)
     t = t + jax.random.normal(key, t.shape) * noise
@@ -627,6 +763,8 @@ def render_scan(
     pts_sensor = dirs_sensor * t[:, None]
     planar = jnp.sqrt(pts_sensor[:, 0] ** 2 + pts_sensor[:, 1] ** 2)
     valid = (t > lidar.min_distance) & (t < lidar.max_distance) & (planar > lidar.min_distance)
+    if return_mover:
+        return pts_sensor, valid, is_mover
     return pts_sensor, valid
 
 
