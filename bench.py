@@ -34,23 +34,41 @@ _CACHE_DIR = os.path.join(os.path.dirname(os.path.abspath(__file__)), ".jax_cach
 # per ADVICE r3): scan rendering is PRE-COMPUTED outside the timed loop
 # (input generation is not part of the odometry system under test — the
 # reference replays a recorded rosbag); fps is steady-state frames over
-# steady-state wall seconds, warmup excluded; drift is the official KITTI
-# protocol over the pinned segment lengths, start frames every 10.
+# steady-state wall seconds, warmup excluded.
+#
+# v2 (round 5): the run extends to 850 frames (~1.15 km) so drift can be
+# scored at the OFFICIAL KITTI segment lengths 100-800 m
+# (ref: /root/reference/runkitti.py:111-157) — reported as
+# drift_t_pct_full_protocol.  The headline drift_t_pct stays the pinned v1
+# protocol (lengths 100-300 m scored over the first 300 frames, whose
+# trajectory prefix is bit-identical to the r2-r4 runs) so rounds compare.
+# The ES run is followed by a BPF segment over the first `bpf_frames` frames
+# (the reference's *default* launch pipeline,
+# ref: launch/pfilter_kitti.launch:5-10), embedding bpf_fps /
+# bpf_drift_t_pct in the same driver-captured JSON line (VERDICT r4 #2).
 PROTOCOL = {
-    "frames": 300,
+    "frames": 850,
     "warmup": 10,
     "speed_m_per_frame": 1.5,
     "azimuth": 1800,
-    "lengths_m": (100, 200, 300),
+    "lengths_m": (100, 200, 300),  # pinned v1, scored on the first v1_frames
+    "v1_frames": 300,
+    "full_lengths_m": (100, 200, 300, 400, 500, 600, 700, 800),
+    "bpf_frames": 300,  # embedded BPF segment runs the v1 protocol
     "render_outside_timed_loop": True,
 }
 
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=300)
+    ap.add_argument("--frames", type=int, default=PROTOCOL["frames"])
     ap.add_argument("--azimuth", type=int, default=1800)
     ap.add_argument("--warmup", type=int, default=10)
+    ap.add_argument(
+        "--no-bpf",
+        action="store_true",
+        help="skip the embedded BPF segment after the ES run",
+    )
     ap.add_argument("--cpu", action="store_true", help="force CPU (debug)")
     ap.add_argument("--speed", type=float, default=1.5, help="meters per frame")
     ap.add_argument(
@@ -226,26 +244,30 @@ def main():
     partial["phase"] = "eval"
     log(f"steady loop done ({n_done} frames); scoring")
     steady_s = time.perf_counter() - t_steady0
-    total_s = time.perf_counter() - t_wall0
     n_steady = n_done - args.warmup
     steady = np.array([steady_s / n_steady * 1e3])
     fps = n_steady / steady_s
     poses = synthetic.se3.Pose(q=poses.q[:n_done], t=poses.t[:n_done])
 
-    # Drift vs ground truth (relative to first frame), official KITTI
-    # protocol: segment lengths 100..800 m where the path affords them,
-    # start frames every 10 (metrics.KITTI_LENGTHS / step=10 defaults).
+    # Drift vs ground truth (relative to first frame).  Two protocols:
+    #  - v1 (headline drift_t_pct): pinned lengths 100-300 m scored over the
+    #    first v1_frames — bit-comparable with rounds 2-4,
+    #  - full: the official KITTI lengths 100-800 m over the whole run
+    #    (ref: /root/reference/runkitti.py:111-157).
     q, t = pipe.trajectory
     gt = metrics.poses_to_matrices(np.asarray(poses.q), np.asarray(poses.t))
     gt = np.einsum("ij,njk->nik", np.linalg.inv(gt[0]), gt)
     est = metrics.poses_to_matrices(q, t)
     path_len = metrics.trajectory_distances(gt)[-1]
-    # Pinned segment lengths (PROTOCOL) so drift compares across rounds; a
-    # shortened run falls back to what the path affords and is flagged below.
-    lengths = tuple(float(l) for l in PROTOCOL["lengths_m"] if l <= path_len * 0.8)
-    if not lengths:
-        lengths = (50.0, 100.0)
-    drift = metrics.kitti_drift(gt, est, lengths=lengths, step=10)
+
+    def scored(gt_n, est_n, proto_lengths):
+        pl = metrics.trajectory_distances(gt_n)[-1]
+        ls = tuple(float(l) for l in proto_lengths if l <= pl * 0.8) or (50.0, 100.0)
+        return metrics.kitti_drift(gt_n, est_n, lengths=ls, step=10), ls
+
+    n_v1 = min(int(PROTOCOL["v1_frames"]), n_done)
+    drift, lengths = scored(gt[:n_v1], est[:n_v1], PROTOCOL["lengths_m"])
+    drift_full, lengths_full = scored(gt, est, PROTOCOL["full_lengths_m"])
     ate = metrics.ate_rmse(gt, est)
 
     deviation = (
@@ -266,6 +288,10 @@ def main():
         "mean_ms_per_frame": round(float(np.mean(steady)), 3),
         "drift_t_pct": round(drift["t_err_pct"], 4),
         "drift_r_deg_per_m": round(drift["r_err_deg_per_m"], 6),
+        "drift_t_pct_full_protocol": round(drift_full["t_err_pct"], 4),
+        "drift_r_full_protocol": round(drift_full["r_err_deg_per_m"], 6),
+        "full_protocol_lengths_m": [int(l) for l in lengths_full],
+        "full_protocol_n_segments": drift_full["n_segments"],
         "ate_rmse_m": round(ate, 4),
         "frames": n_done,
         "frames_requested": args.frames,
@@ -276,15 +302,98 @@ def main():
         "protocol_deviation": deviation,
         "n_segments": drift["n_segments"],
         "n_frames_dropped": pipe.n_dropped,
-        "total_wall_s": round(total_s, 2),
         "overflow_total": pipe.overflow_total,
         "device": str(jax.devices()[0]),
     }
+    # Per-lane overflow breakdown (lane names: es_odometry.OVERFLOW_LANES
+    # for ES; [channel][compact, ds, merge, tile] rows for BPF) — a nonzero
+    # total must say WHERE points were dropped.
+    ovs = [r.overflow for r in pipe.records if r.overflow is not None]
+    if ovs:
+        per_lane = np.stack(ovs).sum(axis=0)
+        if args.mode == "es":
+            from pfilter_tpu.models.es_odometry import OVERFLOW_LANES
+
+            result["overflow_lanes"] = {
+                name: int(v) for name, v in zip(OVERFLOW_LANES, per_lane) if v
+            }
+        else:
+            result["overflow_lanes"] = per_lane.tolist()
     if args.mode == "es":
         result["surf_map_size"] = pipe.records[-1].surf_map_size
         result["edge_map_size"] = pipe.records[-1].edge_map_size
+        # Peak occupancy over the run — what the capacities must actually
+        # hold (final size alone hid the mid-loop edge peak that overflowed
+        # the r4 cap on the v2 850-frame protocol).
+        result["edge_map_peak"] = max(r.edge_map_size for r in pipe.records)
+        result["surf_map_peak"] = max(r.surf_map_size for r in pipe.records)
     else:
         result["map_sizes"] = [int(x) for x in pipe.records[-1].map_sizes]
+
+    # Embedded BPF segment (VERDICT r4 #2): the reference's default launch
+    # path must appear in the driver-captured artifact, not just in commit
+    # messages.  Runs the v1 protocol over the first bpf_frames frames.  The
+    # partial-status file is updated with the full ES result first, so a
+    # budget kill during the BPF phase still ships the ES numbers.
+    run_bpf = args.mode == "es" and not args.no_bpf
+    if run_bpf:
+        partial.clear()
+        partial.update(result)
+        partial["phase"] = "bpf"
+        partial["partial"] = "watchdog"
+        remaining = args.budget_s - (time.perf_counter() - t_wall0)
+        if remaining < 150.0:
+            result["bpf_skipped"] = f"budget ({remaining:.0f}s left)"
+            log(f"skipping BPF segment ({remaining:.0f}s of budget left)")
+        else:
+            log("ES done; starting BPF segment")
+            n_bpf = min(int(PROTOCOL["bpf_frames"]), n_done)
+            bpipe = BPFPipeline(cfg=cfg.replace(mode="bpf"), sync=False, fetch_lag=4)
+
+            def bfeed(i):
+                bpipe.process_frame(*frames_dev[i])
+
+            bfeed(0)
+            log("bpf first frame done (frontend+init compiled)")
+            bfeed(1)
+            bpipe.flush()
+            log("bpf first step done")
+            for i in range(2, args.warmup):
+                bfeed(i)
+            bpipe.flush()
+            log("bpf warmup done; steady loop")
+            t_b0 = time.perf_counter()
+            nb_done = args.warmup
+            for i in range(args.warmup, n_bpf):
+                bfeed(i)
+                nb_done = i + 1
+                if (i - args.warmup + 1) % 25 == 0:
+                    if time.perf_counter() - t_wall0 > args.budget_s * 0.92:
+                        break
+            bpipe.flush()
+            b_steady = time.perf_counter() - t_b0
+            bq, bt = bpipe.trajectory
+            best = metrics.poses_to_matrices(bq, bt)
+            bdrift, blengths = scored(
+                gt[:nb_done], best[:nb_done], PROTOCOL["lengths_m"]
+            )
+            result.update(
+                bpf_fps=round((nb_done - args.warmup) / b_steady, 3),
+                bpf_drift_t_pct=round(bdrift["t_err_pct"], 4),
+                bpf_drift_r_deg_per_m=round(bdrift["r_err_deg_per_m"], 6),
+                bpf_ate_rmse_m=round(metrics.ate_rmse(gt[:nb_done], best[:nb_done]), 4),
+                bpf_frames=nb_done,
+                bpf_protocol_lengths_m=[int(l) for l in blengths],
+                bpf_overflow_total=bpipe.overflow_total,
+                bpf_n_dropped=bpipe.n_dropped,
+                bpf_map_sizes=[int(x) for x in bpipe.records[-1].map_sizes],
+            )
+            log(
+                f"bpf segment done: {result['bpf_fps']} fps, "
+                f"drift {result['bpf_drift_t_pct']}%"
+            )
+
+    result["total_wall_s"] = round(time.perf_counter() - t_wall0, 2)
     print(json.dumps(result), flush=True)
 
 

@@ -350,10 +350,19 @@ def kitti_config() -> PipelineConfig:
         # steady-state occupancy is ~5.7k ds-surf voxels and ~15.2k surf map
         # points, so the caps keep 1.4x/2.1x headroom.  A non-pow2
         # scan_points (118784) hung XLA/Mosaic compilation — keep 131072.
+        # r5: the v2 bench protocol drives the FULL 1.06 km loop (850
+        # frames); the far side of the city grid is edge-denser than the
+        # first 300-frame stretch the r4 caps were sized on and edge_map
+        # 16384 overflowed there (edge_merge_voxel lane: 2164 dropped
+        # voxels; measured 850-frame edge peak 17144) — 24576 restores 1.4x
+        # headroom.  Surf steady-state peak is 21.5k (32768 keeps 1.5x);
+        # the frame-0 "peak == capacity" in bench logs is the raw-scan seed
+        # filling the array (initMapWithPoints semantics, truncation
+        # harmless and immediately re-voxelized away).
         capacity=CapacityConfig(
             ds_edge_points=2048,
             ds_surf_points=8192,
-            edge_map_points=16384,
+            edge_map_points=24576,
             surf_map_points=32768,
             # Tile caps sized to measured worst-case 3-tile halo-row
             # occupancy on the KITTI-like city world (edge rows peak ~490 of
