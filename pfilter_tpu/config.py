@@ -140,6 +140,24 @@ class CapacityConfig:
     ds_surf_points: int = 32768  # downsampled surf scan fed to registration
     edge_map_points: int = 65536
     surf_map_points: int = 262144
+    # Per-channel BPF map capacities (0 = inherit edge/surf caps).  The BPF
+    # channels occupy far less than the ES maps (measured on the city bench:
+    # beam ~2.5k, pillar ~0.6k, facade ~14k vs edge 17k/surf 21k peaks), and
+    # every merge/sort/kNN cost scales with capacity — sizing them
+    # separately is a direct BPF throughput lever (VERDICT r4 #3).
+    bpf_line_map_points: int = 0  # beam + pillar
+    bpf_plane_map_points: int = 0  # facade
+    # Per-channel kNN tile caps (0 = inherit edge/surf tile caps): the
+    # query kernel's matmul K-dim is 3*tile_cap, so sparse channels pay for
+    # oversized caps directly; lane 3 (tile) overflow counters catch any
+    # world that outgrows them.
+    bpf_line_tile_cap: int = 0
+    bpf_plane_tile_cap: int = 0
+    # Facade-channel scan compact capacity (0 = inherit surf_points).  With
+    # ground->facade routing the facade mask holds ~55k of a 131k scan; the
+    # compact gather + downsample sort pay for the full inherited capacity
+    # otherwise.
+    bpf_plane_points: int = 0
     knn_cells: int = 256  # kNN grid cells per axis (1 m cells, covers +-128 m)
     knn_cell_size: float = 1.0
     # Exactness bound: a 1 m cell intersects <= (floor(1/leaf)+1)^3 voxels of
@@ -220,6 +238,11 @@ class PCAClassifyConfig:
     # exact-ball kernel (ops/pca_radius.py, capped by frontend_tile_cap).
     impl: str = "voxel"
     voxel_leaf: float = 0.7
+    # Voxel-table rows for the "voxel" impl (measured occupancy ~1k
+    # non-ground voxels on the HDL-64 city scan; the segment-reduce and the
+    # 27-gather cube loop scale with this row count — n_voxel_dropped fails
+    # loudly if a denser world exceeds it).
+    max_voxels: int = 8192
     neighbor_radius: float = 1.0
     neighbor_k: int = 25
     linear_vertical: float = 0.65  # linearity threshold (ref: :709-721)
@@ -364,6 +387,14 @@ def kitti_config() -> PipelineConfig:
             ds_surf_points=8192,
             edge_map_points=24576,
             surf_map_points=32768,
+            # BPF channel occupancies are small (beam peak ~2.5k, pillar
+            # ~0.6k, facade ~14k on the 300-frame city stretch) — per-channel
+            # caps cut every capacity-proportional BPF cost; overflow lanes
+            # fail loudly if a denser world fills one.
+            bpf_line_map_points=8192,
+            bpf_plane_map_points=24576,
+            bpf_line_tile_cap=128,
+            bpf_plane_points=98304,
             # Tile caps sized to measured worst-case 3-tile halo-row
             # occupancy on the KITTI-like city world (edge rows peak ~490 of
             # w=3*256, surf ~310 of w=3*256) — FrameDiag lane 6 counts any

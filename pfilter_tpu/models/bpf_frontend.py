@@ -57,10 +57,6 @@ def run_frontend(
         ground_mask = jnp.zeros_like(valid)
         nonground = valid
 
-    if use_curved_filter:
-        c = dcvc.cluster(xyz, nonground, cfg.dcvc, cfg.lidar)
-        nonground = c.keep
-
     # Neighborhood-PCA moments over the non-ground cloud against itself.
     # Optional ground->facade routing (see PCAClassifyConfig.ground_as_facade:
     # without it the BPF channel set has no z-constraining geometry — beams
@@ -68,19 +64,59 @@ def run_frontend(
     ground_extra = ground_mask if cfg.pca.ground_as_facade else jnp.zeros_like(valid)
 
     if cfg.pca.impl == "voxel":
-        # Production path: cube-neighborhood moments by voxel aggregation,
-        # classified at voxel resolution and propagated to points — one sort
-        # + 27 direct-addressed gathers (see ops/pca_voxel.py).
-        vc = pca_voxel.voxel_pca_classify(xyz, nonground, cfg.pca)
+        # Production path.  The surviving non-ground cloud is COMPACTED to a
+        # half-capacity prefix first: every DCVC/PCA scatter, sort and
+        # segment cost scales with array CAPACITY, not valid count, and
+        # after ground removal only ~40-55% of a 131k scan survives
+        # (measured: the two 131k-row DCVC grid scatters alone are ~20 ms;
+        # halving the row count halves them).  Masks are scattered back to
+        # raw-scan indexing as one packed-code scatter; prefix overflow is
+        # counted loudly.
+        n = xyz.shape[0]
+        ccap = max(n // 2, 8)
+        cidx = jnp.nonzero(nonground, size=ccap, fill_value=n - 1)[0]
+        n_ng = jnp.sum(nonground.astype(jnp.int32))
+        cvalid = jnp.arange(ccap) < n_ng
+        n_c_over = jnp.maximum(n_ng - ccap, 0)
+        cxyz = xyz[cidx]
+
+        dcvc_dropped = jnp.asarray(0, jnp.int32)
+        ckeep = cvalid
+        if use_curved_filter:
+            c = dcvc.cluster(cxyz, cvalid, cfg.dcvc, cfg.lidar)
+            ckeep = c.keep
+            dcvc_dropped = jnp.asarray(c.n_vox_dropped, jnp.int32)
+
+        # Cube-neighborhood moments by voxel aggregation, classified at
+        # voxel resolution and propagated to points — one sort + 27
+        # direct-addressed gathers (see ops/pca_voxel.py).
+        vc = pca_voxel.voxel_pca_classify(
+            cxyz, ckeep, cfg.pca, max_voxels=cfg.pca.max_voxels
+        )
+        code = (
+            ckeep.astype(jnp.int32)
+            + 2 * (vc.beam_mask & cvalid).astype(jnp.int32)
+            + 4 * (vc.pillar_mask & cvalid).astype(jnp.int32)
+            + 8 * (vc.facade_mask & cvalid).astype(jnp.int32)
+        )
+        full = jnp.zeros(n, jnp.int32)
+        full = full.at[jnp.where(cvalid, cidx, n)].set(
+            jnp.where(cvalid, code, 0), mode="drop", unique_indices=True
+        )
         return FrontendResult(
             ground_mask=ground_mask,
-            nonground_mask=nonground,
-            beam_mask=vc.beam_mask,
-            pillar_mask=vc.pillar_mask,
-            facade_mask=vc.facade_mask | ground_extra,
-            n_halo_truncated=vc.n_voxel_dropped.astype(jnp.int32),
+            nonground_mask=(full & 1) > 0,
+            beam_mask=(full & 2) > 0,
+            pillar_mask=(full & 4) > 0,
+            facade_mask=((full & 8) > 0) | ground_extra,
+            n_halo_truncated=vc.n_voxel_dropped.astype(jnp.int32)
+            + dcvc_dropped
+            + n_c_over,
         )
     else:
+        if use_curved_filter:
+            c = dcvc.cluster(xyz, nonground, cfg.dcvc, cfg.lidar)
+            nonground = c.keep
         # Exact-ball Pallas kernel.  The raw scan is far denser near the
         # sensor than any voxelized map, so it gets its own tile capacity
         # (cfg.capacity.frontend_tile_cap) — and a truncation counter, since

@@ -98,7 +98,7 @@ def first_frame(state: BPFState, xyz, masks, cfg: PipelineConfig) -> BPFState:
         comp_cap = (
             cfg.capacity.edge_points
             if map_state.is_line_kind(kind)
-            else cfg.capacity.surf_points
+            else (cfg.capacity.bpf_plane_points or cfg.capacity.surf_points)
         )
         cxyz, cvalid = _compact(xyz, masks[kind], comp_cap)
         seed = voxel.voxel_downsample_rgbds(
@@ -291,7 +291,7 @@ def bpf_step(state: BPFState, xyz, masks, cfg: PipelineConfig):
     over_ds = {}
     for kind in CHANNELS:
         line = map_state.is_line_kind(kind)
-        comp_cap = cap.edge_points if line else cap.surf_points
+        comp_cap = cap.edge_points if line else (cap.bpf_plane_points or cap.surf_points)
         ds_cap = cap.ds_edge_points if line else cap.ds_surf_points
         cxyz, cvalid = _compact(xyz, masks[kind], comp_cap)
         over_compact[kind] = jnp.maximum(masks[kind].sum() - comp_cap, 0)

@@ -41,6 +41,10 @@ def is_line_kind(kind: str) -> bool:
 def _tile_params(cfg: PipelineConfig, kind: str):
     cap = cfg.capacity
     tile_cap = cap.edge_tile_cap if is_line_kind(kind) else cap.surf_tile_cap
+    if kind in ("beam", "pillar") and cap.bpf_line_tile_cap:
+        tile_cap = cap.bpf_line_tile_cap
+    elif kind == "facade" and cap.bpf_plane_tile_cap:
+        tile_cap = cap.bpf_plane_tile_cap
     return cap.knn_tiles, cap.tile_cells, tile_cap
 
 
@@ -105,7 +109,12 @@ def query_index(index, q_xyz, q_valid, cfg: PipelineConfig, kind: str):
 
 
 def map_capacity(cfg: PipelineConfig, kind: str) -> int:
-    return cfg.capacity.edge_map_points if is_line_kind(kind) else cfg.capacity.surf_map_points
+    c = cfg.capacity
+    if kind in ("beam", "pillar") and c.bpf_line_map_points:
+        return c.bpf_line_map_points
+    if kind == "facade" and c.bpf_plane_map_points:
+        return c.bpf_plane_map_points
+    return c.edge_map_points if is_line_kind(kind) else c.surf_map_points
 
 
 def empty_index(cfg: PipelineConfig, kind: str, rg_width: int = 2):

@@ -40,10 +40,13 @@ class DCVCResult(NamedTuple):
     label: jnp.ndarray  # [N] int32 cluster label (voxel-id minima); -1 = invalid
     cluster_size: jnp.ndarray  # [N] int32 — size of the point's cluster
     keep: jnp.ndarray  # [N] bool — valid & cluster_size > minSeg
-    # Propagation rounds actually run before the fixed point (convergence
-    # diagnostic: == max_iters means labels may not have converged and long
-    # components could be split — surface this, don't guess).
+    # Diagnostics kept for API stability.  r5 measured the propagation loop
+    # is NOT the cost (48->16 iters saved 2.7 of 20 ms; the two 131k-point
+    # dense scatters dominate), and a sort+segment restructure came out
+    # SLOWER (24.6 vs 20.1 ms) — so the scatter form below stands and these
+    # stay at their defaults.
     n_iters: jnp.ndarray = 0
+    n_vox_dropped: jnp.ndarray = 0
 
 
 def polar_bounds(cfg: DCVCConfig, lidar: LidarConfig, max_bins: int = 256) -> np.ndarray:
@@ -100,44 +103,36 @@ def cluster(
     vox = vox.at[sp, ia, ir].min(jnp.where(ok, lin, big), mode="drop")
 
     def pool(a):
-        # 3x3x3 min over the polar neighborhood as ONE reduce_window kernel
-        # (TPU pooling path — the previous roll/concat separable form
-        # materialized six full-grid copies per iteration).  Azimuth wraps:
-        # pad one wrapped column on each side, then window VALID on that
-        # axis; pitch/polar clamp via SAME-style edge padding with the
-        # +inf-like ``big`` init value.
-        a_p = jnp.concatenate([a[:, -1:, :], a, a[:, :1, :]], axis=1)
-        return jax.lax.reduce_window(
-            a_p,
-            np.int32(2**30),  # concrete init (reduce_window rejects tracers)
-            jax.lax.min,
-            window_dimensions=(3, 3, 3),
-            window_strides=(1, 1, 1),
-            padding=((1, 1), (0, 0), (1, 1)),
-        )
+        # 3x3x3 min over occupied voxels; azimuth wraps, pitch/polar clamp.
+        def shift_min(x, axis, wrap):
+            if wrap:
+                return jnp.minimum(x, jnp.minimum(jnp.roll(x, 1, axis), jnp.roll(x, -1, axis)))
+            lo = jnp.concatenate(
+                [jax.lax.slice_in_dim(x, 0, 1, axis=axis), jax.lax.slice_in_dim(x, 0, x.shape[axis] - 1, axis=axis)],
+                axis=axis,
+            )
+            hi = jnp.concatenate(
+                [jax.lax.slice_in_dim(x, 1, x.shape[axis], axis=axis), jax.lax.slice_in_dim(x, x.shape[axis] - 1, x.shape[axis], axis=axis)],
+                axis=axis,
+            )
+            return jnp.minimum(x, jnp.minimum(lo, hi))
+
+        a = shift_min(a, 0, wrap=False)
+        a = shift_min(a, 1, wrap=True)
+        a = shift_min(a, 2, wrap=False)
+        return a
 
     occupied = vox < big
 
-    # Iterated min-pool to the fixed point, with early exit: propagation is
-    # label-identical whether or not extra rounds run past convergence, so
-    # the while_loop stops as soon as one round changes nothing (measured:
-    # typical urban frames converge well before max_iters; n_iters is
-    # surfaced as the convergence diagnostic).  (Pointer jumping —
-    # flat[label] — would converge in O(log diameter) rounds but measured
-    # 12x SLOWER on TPU: a 3M-element random gather per round is exactly the
-    # pointer-chasing access pattern the dense min-pool exists to avoid.)
-    def w_cond(carry):
-        _, it, changed = carry
-        return (it < cfg.max_iters) & changed
+    # Plain iterated min-pool.  (Pointer jumping — flat[label] — would
+    # converge in O(log diameter) rounds but measured 12x SLOWER on TPU:
+    # a 3M-element random gather per round is exactly the pointer-chasing
+    # access pattern the dense separable min-pool exists to avoid.)
+    def body(_, lab):
+        pooled = pool(lab)
+        return jnp.where(occupied, pooled, big)
 
-    def w_body(carry):
-        lab, it, _ = carry
-        pooled = jnp.where(occupied, pool(lab), big)
-        return pooled, it + 1, jnp.any(pooled != lab)
-
-    labels, n_iters, _ = jax.lax.while_loop(
-        w_cond, w_body, (vox, jnp.asarray(0, jnp.int32), jnp.asarray(True))
-    )
+    labels = jax.lax.fori_loop(0, cfg.max_iters, body, vox)
 
     # Per-point label + cluster sizes (sort-free: scatter-add counts onto the
     # label's *root voxel* — labels are voxel linear ids, so the root voxel
@@ -155,5 +150,4 @@ def cluster(
         label=jnp.where(ok, plabel, -1),
         cluster_size=csize,
         keep=keep,
-        n_iters=n_iters,
     )

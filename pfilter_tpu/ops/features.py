@@ -250,9 +250,15 @@ def extract_features(
     _, _, spos = jax.lax.sort((pk, neg_curv, pos_grid), dimension=1, num_keys=2)
 
     # Per-(ring, key) counts -> start offset of each sector's candidate run.
-    cnts = jnp.zeros((R, 2 * S + 1), jnp.int32)
-    r_rows = jnp.broadcast_to(jnp.arange(R, dtype=jnp.int32)[:, None], (R, C))
-    cnts = cnts.at[r_rows, pk].add(1)
+    # Histogram by one-hot reduction, not scatter-add: 131k+ updates onto an
+    # (R, 13) grid collide massively and TPU scatter serializes per
+    # duplicate; comparing against the 13 key values and reducing over C is
+    # pure VPU work.
+    cnts = jnp.sum(
+        pk[:, :, None] == jnp.arange(2 * S + 1, dtype=jnp.int32)[None, None, :],
+        axis=1,
+        dtype=jnp.int32,
+    )
     starts = jnp.cumsum(cnts, axis=1) - cnts  # exclusive prefix
     cand_start = starts[:, 0 : 2 * S : 2]  # [R, S]
     n_cand = cnts[:, 0 : 2 * S : 2]  # [R, S]

@@ -41,12 +41,15 @@ def main():
     rng = np.random.default_rng(0)
 
     def timeit(name, f, *a):
+        """Batch-dispatch timing: the device queue serializes the iters and
+        completion is forced ONCE — a per-iteration fetch would add the
+        ~34 ms host<->device tunnel round trip to every sample."""
         r = f(*a)
         force(r)
         t0 = time.perf_counter()
         for _ in range(args.iters):
             r = f(*a)
-            force(r)
+        force(r)
         dt = (time.perf_counter() - t0) / args.iters * 1e3
         print(f"{name}: {dt:.2f} ms", flush=True)
         return r
@@ -59,7 +62,7 @@ def main():
         extract = jax.jit(
             lambda x, m: fops.extract_features(x, m, cfg.lidar, cfg.features, cfg.capacity)
         )
-        timeit("extract(131k)", extract, xyz, mask)
+        timeit(f"extract({cap.scan_points//1024}k)", extract, xyz, mask)
 
     M = cap.surf_map_points
     mxyz = jnp.asarray(rng.uniform(-100, 100, (M, 3)).astype(np.float32))
@@ -68,7 +71,7 @@ def main():
     build = jax.jit(lambda x, r, v: map_state.build_index(x, r, v, jnp.zeros(3), cfg, "surf"))
     grid = build(mxyz, mrg, mv)
     if want & {"all", "build"}:
-        timeit("build_index(262k)", build, mxyz, mrg, mv)
+        timeit(f"build_index({M//1024}k)", build, mxyz, mrg, mv)
 
     Q = cap.ds_surf_points
     q = jnp.asarray(rng.uniform(-90, 90, (Q, 3)).astype(np.float32))
@@ -79,7 +82,7 @@ def main():
     qs = sortq(q, qv)
     sq = q[qs.order]
     if want & {"all", "sort"}:
-        timeit("sort_queries(32k)", sortq, q, qv)
+        timeit(f"sort_queries({Q//1024}k)", sortq, q, qv)
 
     if want & {"all", "query"}:
         f5 = jax.jit(
@@ -87,7 +90,7 @@ def main():
                 g, s, b, cap.knn_tiles, cap.tile_cells, cap.surf_tile_cap, k=5
             )
         )
-        timeit("query_kernel(32k q, 262k map)", f5, grid, sq, qs.bounds)
+        timeit(f"query_kernel({Q//1024}k q, {M//1024}k map)", f5, grid, sq, qs.bounds)
 
     if want & {"all", "ds"}:
         sx = jnp.asarray(rng.uniform(-90, 90, (cap.surf_points, 3)).astype(np.float32))
@@ -99,7 +102,7 @@ def main():
                 cap.ds_surf_points,
             )
         )
-        timeit("rgbds(131k->32k)", ds, sx, sv)
+        timeit(f"rgbds({cap.surf_points//1024}k->{cap.ds_surf_points//1024}k)", ds, sx, sv)
 
     if want & {"all", "merge"}:
         merge = jax.jit(
@@ -107,7 +110,7 @@ def main():
                 g, w, r, v, jnp.zeros(3), 0.8, cfg, "surf"
             )[0]
         )
-        timeit("merge(262k+33k)", merge, grid, q, jnp.zeros((Q, 2), jnp.float32), qv)
+        timeit(f"merge({M//1024}k+{Q//1024}k)", merge, grid, q, jnp.zeros((Q, 2), jnp.float32), qv)
 
     if want & {"all", "step"}:
         extract = jax.jit(
