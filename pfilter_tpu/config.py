@@ -275,14 +275,14 @@ class PoseGraphConfig:
     degenerate directions (corridor along-track, facade-only z) are filled
     in by the motion model.  Replicated arithmetic — shard-safe as is."""
 
-    # Default ON (VERDICT r3 #6 A/B, tools/out/pose_graph_ab.json): on the
-    # degenerate canyon world — the failure mode this back-end exists for —
-    # the smoother cuts drift 1.876% -> 0.659% (along-track RMSE 1.72 m ->
-    # 0.38 m); on geometry-rich worlds it is within noise of off (city
-    # circuit 0.332% vs 0.304%, structured canyon 0.374% vs 0.360%, fps
-    # unchanged).  Robustness to degenerate stretches wins the default;
-    # set pose_graph.enabled=false to recover the last few hundredths on
-    # rich worlds.
+    # Default ON (VERDICT r3 #6 A/B, tools/out/pose_graph_ab.json; r5
+    # refresh after fixing the canyon world's inverted -y stub bounds,
+    # ADVICE r4): on the degenerate canyon — the failure mode this back-end
+    # exists for — the smoother cuts drift 0.930% -> 0.588% (along-track
+    # RMSE 1.03 m -> 0.36 m); on the structured-canyon control it is within
+    # noise of off (0.3829% vs 0.3822%, fps unchanged).  Robustness to
+    # degenerate stretches wins the default; set pose_graph.enabled=false
+    # to recover the last few hundredths on rich worlds.
     enabled: bool = True
     window: int = 8
     iters: int = 3
