@@ -263,7 +263,12 @@ def main():
     def scored(gt_n, est_n, proto_lengths):
         pl = metrics.trajectory_distances(gt_n)[-1]
         ls = tuple(float(l) for l in proto_lengths if l <= pl * 0.8) or (50.0, 100.0)
-        return metrics.kitti_drift(gt_n, est_n, lengths=ls, step=10), ls
+        d = metrics.kitti_drift(gt_n, est_n, lengths=ls, step=10)
+        if d["n_segments"] == 0:
+            # A severely truncated run affords no segments; NaN here would
+            # make json.dumps emit invalid JSON for the driver.
+            d = dict(d, t_err_pct=-1.0, r_err_deg_per_m=-1.0)
+        return d, ls
 
     n_v1 = min(int(PROTOCOL["v1_frames"]), n_done)
     drift, lengths = scored(gt[:n_v1], est[:n_v1], PROTOCOL["lengths_m"])

@@ -102,20 +102,19 @@ def bin_rings(
     sorted_xyz = xyz[order]
     n_pts = xyz.shape[0]
 
-    # Rank of each sorted point within its ring.
+    # Dense grid by GATHER, not scatter: ring r's points occupy the sorted
+    # array's contiguous run [ring_start[r], ring_start[r+1]), so slot
+    # (r, c) simply reads sorted row ring_start[r] + c.  Gathers are cheap
+    # on TPU; the scatter form this replaces serialized per update.
     ring_start = jnp.searchsorted(sorted_ring, jnp.arange(R + 1, dtype=jnp.int32))
-    rank = jnp.arange(n_pts, dtype=jnp.int32) - ring_start[jnp.clip(sorted_ring, 0, R)]
-    in_cap = (rank < C) & (sorted_ring < R)
-
-    dense_xyz = jnp.zeros((R, C, 3), xyz.dtype)
-    dense_valid = jnp.zeros((R, C), jnp.int32)
-    # Invalid entries are routed out of bounds and dropped by the scatter.
-    r_idx = jnp.where(in_cap, sorted_ring, R)
-    c_idx = jnp.where(in_cap, rank, C)
-    dense_xyz = dense_xyz.at[r_idx, c_idx].set(sorted_xyz, mode="drop")
-    dense_valid = dense_valid.at[r_idx, c_idx].set(1, mode="drop") > 0
     length = jnp.minimum(ring_start[1:] - ring_start[:-1], C).astype(jnp.int32)
-    return RingGrid(xyz=dense_xyz, valid=dense_valid, length=length)
+    slot_c = jnp.arange(C, dtype=jnp.int32)[None, :]
+    src = ring_start[:-1, None].astype(jnp.int32) + slot_c  # [R, C]
+    in_run = slot_c < (ring_start[1:] - ring_start[:-1])[:, None]
+    src = jnp.minimum(src, n_pts - 1)
+    dense_xyz = sorted_xyz[src.reshape(-1)].reshape(R, C, 3)
+    dense_xyz = jnp.where(in_run[..., None], dense_xyz, 0.0)
+    return RingGrid(xyz=dense_xyz, valid=in_run, length=length)
 
 
 def bin_extra(
@@ -134,14 +133,16 @@ def bin_extra(
     ring, valid = ring_ids(xyz, mask, lidar)
     order = jnp.argsort(ring, stable=True)
     sorted_ring = ring[order]
+    sorted_extra = extra[order]
     n_pts = xyz.shape[0]
+    # Same gather formulation as bin_rings (see there).
     ring_start = jnp.searchsorted(sorted_ring, jnp.arange(R + 1, dtype=jnp.int32))
-    rank = jnp.arange(n_pts, dtype=jnp.int32) - ring_start[jnp.clip(sorted_ring, 0, R)]
-    in_cap = (rank < C) & (sorted_ring < R)
-    r_idx = jnp.where(in_cap, sorted_ring, R)
-    c_idx = jnp.where(in_cap, rank, C)
-    dense = jnp.zeros((R, C), extra.dtype)
-    dense = dense.at[r_idx, c_idx].set(extra[order], mode="drop")
+    slot_c = jnp.arange(C, dtype=jnp.int32)[None, :]
+    src = ring_start[:-1, None].astype(jnp.int32) + slot_c
+    in_run = slot_c < (ring_start[1:] - ring_start[:-1])[:, None]
+    src = jnp.minimum(src, n_pts - 1)
+    dense = sorted_extra[src.reshape(-1)].reshape(R, C)
+    dense = jnp.where(in_run, dense, jnp.zeros_like(dense))
     return dense.reshape(-1)
 
 
