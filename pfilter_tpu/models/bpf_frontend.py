@@ -62,6 +62,9 @@ def run_frontend(
     # without it the BPF channel set has no z-constraining geometry — beams
     # alone carry z and drift ratchets).
     ground_extra = ground_mask if cfg.pca.ground_as_facade else jnp.zeros_like(valid)
+    if cfg.pca.ground_as_facade and cfg.pca.ground_facade_decimate > 1:
+        stride = jnp.arange(valid.shape[0]) % cfg.pca.ground_facade_decimate == 0
+        ground_extra = ground_extra & stride
 
     if cfg.pca.impl == "voxel":
         # Production path.  The surviving non-ground cloud is COMPACTED to a
